@@ -1,0 +1,91 @@
+"""Static-shape class-agnostic NMS for XLA.
+
+TPU-native replacement for the reference's CUDA bitmask NMS
+(reference: mmcv/mmcv/ops/csrc/common/cuda/nms_cuda_kernel.cuh, wrapper
+mmcv/mmcv/ops/nms.py:14-33,119).  Semantics matched exactly:
+
+* scores strictly greater than ``score_threshold`` survive the pre-filter
+  (reference: mmcv/mmcv/ops/nms.py:19-22 ``scores > score_threshold``),
+* greedy hard suppression at ``iou > iou_threshold`` in descending-score
+  order (ties broken by original index, like a stable descending sort),
+* kept indices are returned in descending-score order, truncated to
+  ``max_num`` (reference: mmcv/mmcv/ops/nms.py:29-32).
+
+The XLA twist: output is a fixed ``(max_num,)`` index buffer plus a boolean
+validity mask instead of a ragged list — downstream consumers (region
+tokenizer, token surgery) are all masked fixed-capacity ops, so the whole
+image->boxes->tokens graph stays one compiled program with no host sync.
+
+The suppression loop is O(N^2) on a precomputed IoU matrix; for Groma's
+N ~ 300 proposals + <=100 user boxes this is a few hundred KB in VMEM and
+vastly cheaper than a host round-trip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from groma_tpu.ops.bbox import box_iou
+
+NEG_INF = jnp.float32(-1e30)
+
+
+@functools.partial(jax.jit, static_argnames=('max_num',))
+def nms(boxes: jnp.ndarray,
+        scores: jnp.ndarray,
+        iou_threshold: float,
+        score_threshold: float = 0.0,
+        max_num: int = 100,
+        valid: jnp.ndarray | None = None):
+    """Greedy hard NMS with static shapes.
+
+    Args:
+      boxes: (N, 4) xyxy boxes.
+      scores: (N,) scores.
+      iou_threshold: suppression IoU threshold (strictly greater suppresses).
+      score_threshold: pre-filter; only ``score > score_threshold`` survive.
+      max_num: fixed output capacity.
+      valid: optional (N,) bool mask of live input slots (padding support).
+
+    Returns:
+      keep_idx: (max_num,) int32 indices into the input, descending score.
+      keep_mask: (max_num,) bool, True where keep_idx is a real survivor.
+    """
+    n = boxes.shape[0]
+    scores = scores.astype(jnp.float32)
+    alive = scores > score_threshold
+    if valid is not None:
+        alive = alive & valid
+    masked_scores = jnp.where(alive, scores, NEG_INF)
+
+    # Stable descending sort: argsort ascending on negated score keeps
+    # original-index tie order, matching torch.sort(descending=True).
+    order = jnp.argsort(-masked_scores, stable=True)
+    sorted_boxes = boxes[order]
+    sorted_alive = alive[order]
+
+    iou = box_iou(sorted_boxes, sorted_boxes)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+
+    def body(i, state):
+        keep, suppressed = state
+        keep_i = sorted_alive[i] & jnp.logical_not(suppressed[i])
+        keep = keep.at[i].set(keep_i)
+        suppress_row = keep_i & (iou[i] > iou_threshold) & (col > i)
+        suppressed = suppressed | suppress_row
+        return keep, suppressed
+
+    keep0 = jnp.zeros((n,), dtype=bool)
+    keep, _ = jax.lax.fori_loop(0, n, body, (keep0, keep0))
+
+    # Compact kept positions to the front, preserving descending-score order.
+    front = jnp.argsort(jnp.logical_not(keep), stable=True)
+    num_kept = jnp.sum(keep)
+    keep_idx = order[front][:max_num].astype(jnp.int32)
+    rank = jax.lax.broadcasted_iota(jnp.int32, (max_num,), 0)
+    keep_mask = rank < jnp.minimum(num_kept, max_num)
+    keep_idx = jnp.where(keep_mask, keep_idx, 0)
+    return keep_idx, keep_mask
