@@ -1,0 +1,381 @@
+"""Pallas flash attention (forward + backward) for TPU.
+
+TPU-native replacement for the reference's external CUDA flash-attn package
+(reference: groma/train/llama_flash_attn_monkey_patch.py:13-124).  Instead of
+the reference's varlen-unpad path (flatten valid tokens, cu_seqlens), the
+TPU design keeps static shapes and threads an explicit key-padding mask into
+the kernel — padding slots simply never contribute, which also covers
+Groma's mid-sequence pad slots from the fixed-capacity region stream.
+
+Layout: (batch, num_heads, seq, head_dim); online-softmax tiling with
+128x128 blocks (MXU-native); fp32 accumulators; log-sum-exp saved for the
+backward.  Backward is the standard two-kernel split: one pass accumulates
+dk/dv per kv block, one accumulates dq per q block.
+
+Used by both the LLaMA decoder (causal) and the ViT/DDETR encoders
+(bidirectional) at training time; single-token decode uses the plain XLA
+dot-product path in models/llama.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK = 128
+NEG_INF = -1e30
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == 'tpu'
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------- reference
+
+def mha_reference(q, k, v, kv_mask=None, causal=False, scale=None):
+    """Plain jnp attention — the golden reference for kernel tests
+    (the analogue of mmcv's CUDA-vs-pure-PyTorch comparisons,
+    reference: mmcv/tests/test_ops/test_ms_deformable_attn.py:54+)."""
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    scale = (d ** -0.5) if scale is None else scale
+    s = jnp.einsum('bhqd,bhkd->bhqk', q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :], s, NEG_INF)
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+        kj = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+        s = jnp.where((kj <= qi + (skv - sq))[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    # rows with no valid key: output zero (fully-masked guard)
+    denom_ok = jnp.max(s, axis=-1, keepdims=True) > NEG_INF / 2
+    p = jnp.where(denom_ok, p, 0.0)
+    return jnp.einsum('bhqk,bhkd->bhqd', p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+# ---------------------------------------------------------------- forward
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                acc, m_scr, l_scr, *, scale, causal, block_q, block_k,
+                num_kv_blocks, seq_q, seq_kv):
+    ik = pl.program_id(2)
+    iq = pl.program_id(1)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    kv_valid = mask_ref[0, 0] != 0                              # (block_k,)
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        qpos = row + iq * block_q + (seq_kv - seq_q)
+        valid = valid & (col + ik * block_k <= qpos)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]                               # (block_q, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    p = jnp.where(valid, p, 0.0)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    v = v_ref[0].astype(jnp.float32)
+    acc[:] = acc[:] * corr + jax.lax.dot(p, v,
+                                         preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0] = (acc[:] / safe_l).astype(o_ref.dtype)
+        lse = jnp.where(l > 0.0, m_scr[:, :1] + jnp.log(safe_l), NEG_INF)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref[0].shape)
+
+
+def _fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    sq_p = pl.cdiv(sq, block_q) * block_q
+    skv_p = pl.cdiv(skv, block_k) * block_k
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    maskp = jnp.pad(kv_mask, ((0, 0), (0, skv_p - skv)))
+    maskp = maskp.astype(jnp.int32)[:, None, :]
+
+    bh = b * h
+    qp = qp.reshape(bh, sq_p, d)
+    kp = kp.reshape(bh, skv_p, d)
+    vp = vp.reshape(bh, skv_p, d)
+    nq = sq_p // block_q
+    nk = skv_p // block_k
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, num_kv_blocks=nk, seq_q=sq, seq_kv=skv)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_, iq, ik: (bh_, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_, iq, ik: (bh_, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_, iq, ik: (bh_, ik, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda bh_, iq, ik: (bh_ // h, 0, ik)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_, iq, ik: (bh_, iq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bh_, iq, ik: (bh_, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_p, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, maskp)
+
+    out = out.reshape(b, h, sq_p, d)[:, :, :sq]
+    lse = lse[:, :, 0].reshape(b, h, sq_p)[:, :, :sq]
+    return out, lse
+
+
+# ---------------------------------------------------------------- backward
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal,
+                    block_q, block_k, num_q_blocks, seq_q, seq_kv):
+    iq = pl.program_id(2)
+    ik = pl.program_id(1)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    kv_valid = mask_ref[0, 0] != 0
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    qpos = row + iq * block_q
+    valid = valid & (qpos < seq_q)
+    if causal:
+        valid = valid & (col + ik * block_k <= qpos + (seq_kv - seq_q))
+    p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+
+    dv_acc[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dk_acc[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_acc, *, scale, causal, block_q, block_k,
+                   num_kv_blocks, seq_q, seq_kv):
+    ik = pl.program_id(2)
+    iq = pl.program_id(1)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    kv_valid = mask_ref[0, 0] != 0
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        qpos = row + iq * block_q + (seq_kv - seq_q)
+        valid = valid & (col + ik * block_k <= qpos)
+    p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dq_acc[:] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd(causal, scale, block_q, block_k, interpret, res, g):
+    q, k, v, kv_mask, out, lse = res
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    do = g
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    sq_p = pl.cdiv(sq, block_q) * block_q
+    skv_p = pl.cdiv(skv, block_k) * block_k
+    bh = b * h
+
+    def pad3(x, s_to):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_to - x.shape[2]), (0, 0))
+                       ).reshape(bh, s_to, d)
+
+    qp, dop = pad3(q, sq_p), pad3(do, sq_p)
+    kp, vp = pad3(k, skv_p), pad3(v, skv_p)
+    maskp = jnp.pad(kv_mask, ((0, 0), (0, skv_p - skv)))
+    maskp = maskp.astype(jnp.int32)[:, None, :]
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)),
+                    constant_values=NEG_INF).reshape(bh, sq_p)
+    delta_p = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq))
+                      ).reshape(bh, sq_p)
+    # stats as (bh, sq, 128) replicated in lanes for clean VMEM tiling
+    lse_t = jnp.broadcast_to(lse_p[:, :, None], (bh, sq_p, 128))
+    delta_t = jnp.broadcast_to(delta_p[:, :, None], (bh, sq_p, 128))
+
+    nq = sq_p // block_q
+    nk = skv_p // block_k
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, num_q_blocks=nq, seq_q=sq, seq_kv=skv)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_, ik, iq: (bh_, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_, ik, iq: (bh_, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_, ik, iq: (bh_, ik, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda bh_, ik, iq: (bh_ // h, 0, ik)),
+            pl.BlockSpec((1, block_q, d), lambda bh_, ik, iq: (bh_, iq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bh_, ik, iq: (bh_, iq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bh_, ik, iq: (bh_, iq, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh_, ik, iq: (bh_, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_, ik, iq: (bh_, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, skv_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, skv_p, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, maskp, dop, lse_t, delta_t)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, num_kv_blocks=nk, seq_q=sq, seq_kv=skv)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh_, iq, ik: (bh_, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_, iq, ik: (bh_, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh_, iq, ik: (bh_, ik, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda bh_, iq, ik: (bh_ // h, 0, ik)),
+            pl.BlockSpec((1, block_q, d), lambda bh_, iq, ik: (bh_, iq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bh_, iq, ik: (bh_, iq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda bh_, iq, ik: (bh_, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda bh_, iq, ik: (bh_, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, maskp, dop, lse_t, delta_t)
+
+    dq = dq.reshape(b, h, sq_p, d)[:, :, :sq]
+    dk = dk.reshape(b, h, skv_p, d)[:, :, :skv]
+    dv = dv.reshape(b, h, skv_p, d)[:, :, :skv]
+    return dq, dk, dv, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attention(q, k, v, kv_mask, causal, scale, block_q, block_k,
+                     interpret):
+    out, _ = _fwd(q, k, v, kv_mask, causal, scale, block_q, block_k,
+                  interpret)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, kv_mask, causal, scale, block_q, block_k,
+                    interpret):
+    out, lse = _fwd(q, k, v, kv_mask, causal, scale, block_q, block_k,
+                    interpret)
+    return out, (q, k, v, kv_mask, out, lse)
+
+
+def _flash_bwd_rule(causal, scale, block_q, block_k, interpret, res, g):
+    return _bwd(causal, scale, block_q, block_k, interpret, res, g)
+
+
+_flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(q: jnp.ndarray,
+                    k: jnp.ndarray,
+                    v: jnp.ndarray,
+                    kv_mask: jnp.ndarray | None = None,
+                    causal: bool = False,
+                    scale: float | None = None,
+                    block_q: int = DEFAULT_BLOCK,
+                    block_k: int = DEFAULT_BLOCK,
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """Flash attention over (B, H, S, D) tensors with optional causal masking
+    and a (B, S_kv) key validity mask.  Differentiable (custom VJP)."""
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, skv), dtype=bool)
+    if interpret is None:
+        interpret = not _on_tpu()
+    block_q = min(block_q, max(sq, 8))
+    block_k = min(block_k, max(skv, 8))
+    return _flash_attention(q, k, v, kv_mask, causal, float(scale),
+                            block_q, block_k, interpret)

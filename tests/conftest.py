@@ -8,12 +8,21 @@ Must set env vars before the first jax import anywhere in the test session.
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# The container's sitecustomize registers the axon TPU backend and pins
+# JAX_PLATFORMS=axon before pytest starts, so a plain env setdefault is too
+# late — override both the env and the already-imported jax config.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('JAX_ENABLE_X64', '0')
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+assert jax.devices()[0].platform == 'cpu', 'tests must run on host CPU'
+assert jax.device_count() == 8, 'tests expect an 8-device virtual mesh'
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
