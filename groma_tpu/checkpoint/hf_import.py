@@ -1,0 +1,167 @@
+"""HF checkpoint import: torch/safetensors state dicts -> flax param pytrees.
+
+Satisfies the reference's "same HF checkpoint loading" parity surface
+(reference: groma/model/groma.py:100-107 from_pretrained composition of
+dinov2 / vicuna / ddetr / full-Groma checkpoints).  All conversion is
+numpy-side and happens once; TPU-hostile per-step work (position-embedding
+interpolation, layout transposes) is folded into the import so the compiled
+model never sees it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict
+
+import numpy as np
+
+
+# ------------------------------------------------------------ file loading
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a HF checkpoint directory (safetensors preferred, torch .bin
+    fallback) into a flat name->numpy dict."""
+    tensors = {}
+    st_files = sorted(f for f in os.listdir(path)
+                      if f.endswith('.safetensors'))
+    if st_files:
+        from safetensors.numpy import load_file
+        for f in st_files:
+            tensors.update(load_file(os.path.join(path, f)))
+        return tensors
+    bin_files = sorted(f for f in os.listdir(path) if f.endswith('.bin'))
+    if not bin_files:
+        raise FileNotFoundError(f'no safetensors/bin weights under {path}')
+    import torch
+    for f in bin_files:
+        sd = torch.load(os.path.join(path, f), map_location='cpu',
+                        weights_only=True)
+        tensors.update({k: v.float().numpy() if v.dtype == torch.bfloat16
+                        else v.numpy() for k, v in sd.items()})
+    return tensors
+
+
+def to_numpy_state_dict(module_or_dict) -> Dict[str, np.ndarray]:
+    """Accept a torch nn.Module, a torch state dict, or a numpy dict."""
+    if isinstance(module_or_dict, dict):
+        out = {}
+        for k, v in module_or_dict.items():
+            out[k] = v if isinstance(v, np.ndarray) else _t2n(v)
+        return out
+    return {k: _t2n(v) for k, v in module_or_dict.state_dict().items()}
+
+
+def _t2n(t) -> np.ndarray:
+    import torch
+    if t.dtype == torch.bfloat16:
+        t = t.float()
+    return t.detach().cpu().numpy()
+
+
+# ---------------------------------------------------- torch-bicubic resize
+
+def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Torch's bicubic convolution kernel (a = -0.75)."""
+    t = np.abs(t)
+    out = np.zeros_like(t)
+    m1 = t <= 1
+    out[m1] = ((a + 2) * t[m1] - (a + 3)) * t[m1] * t[m1] + 1
+    m2 = (t > 1) & (t < 2)
+    out[m2] = (((t[m2] - 5) * t[m2] + 8) * t[m2] - 4) * a
+    return out
+
+
+def _resize_axis_bicubic(x: np.ndarray, out_size: int, axis: int) -> np.ndarray:
+    """Separable torch-style bicubic (align_corners=False, border clamp)."""
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    scale = in_size / out_size
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) * scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    weights = np.zeros((out_size, 4))
+    idx = np.zeros((out_size, 4), np.int64)
+    for k in range(4):
+        ik = i0 - 1 + k
+        weights[:, k] = _cubic_kernel(src - ik)
+        idx[:, k] = np.clip(ik, 0, in_size - 1)
+    x_moved = np.moveaxis(x, axis, 0)
+    out = np.einsum('ok,ok...->o...', weights, x_moved[idx])
+    return np.moveaxis(out, 0, axis).astype(x.dtype)
+
+
+def interpolate_pos_embed(pos: np.ndarray, src_grid: int,
+                          dst_grid: int) -> np.ndarray:
+    """(1, 1+src², C) -> (1, 1+dst², C), CLS slot kept, patch grid resized
+    with torch-bicubic numerics (matches HF Dinov2Embeddings
+    interpolate_pos_encoding, applied once at import instead of per step)."""
+    cls_tok, patch = pos[:, :1], pos[:, 1:]
+    c = patch.shape[-1]
+    grid = patch.reshape(src_grid, src_grid, c)
+    grid = _resize_axis_bicubic(grid, dst_grid, 0)
+    grid = _resize_axis_bicubic(grid, dst_grid, 1)
+    return np.concatenate(
+        [cls_tok, grid.reshape(1, dst_grid * dst_grid, c)], axis=1)
+
+
+# ------------------------------------------------------------------ dinov2
+
+def import_dinov2(sd: Dict[str, np.ndarray], num_layers: int,
+                  patch_size: int, deploy_grid: int | None = None) -> dict:
+    """HF Dinov2Model state dict -> flax params for models/dinov2.py."""
+    sd = dict(sd)
+    prefix = ''
+    if any(k.startswith('vis_encoder.') for k in sd):
+        prefix = 'vis_encoder.'
+
+    def g(name):
+        return sd[prefix + name]
+
+    pos = g('embeddings.position_embeddings')
+    src_grid = int(round((pos.shape[1] - 1) ** 0.5))
+    if deploy_grid is not None and deploy_grid != src_grid:
+        pos = interpolate_pos_embed(pos, src_grid, deploy_grid)
+
+    conv_w = g('embeddings.patch_embeddings.projection.weight')  # (C,3,p,p)
+    c_out = conv_w.shape[0]
+    patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, c_out)
+
+    params = {
+        'cls_token': g('embeddings.cls_token'),
+        'pos_embed': pos,
+        'patch_embed': {
+            'kernel': patch_kernel,
+            'bias': g('embeddings.patch_embeddings.projection.bias'),
+        },
+        'norm': {'scale': g('layernorm.weight'), 'bias': g('layernorm.bias')},
+    }
+    for i in range(num_layers):
+        p = f'encoder.layer.{i}.'
+        params[f'layer_{i}'] = {
+            'norm1': {'scale': g(p + 'norm1.weight'),
+                      'bias': g(p + 'norm1.bias')},
+            'q': {'kernel': g(p + 'attention.attention.query.weight').T,
+                  'bias': g(p + 'attention.attention.query.bias')},
+            'k': {'kernel': g(p + 'attention.attention.key.weight').T,
+                  'bias': g(p + 'attention.attention.key.bias')},
+            'v': {'kernel': g(p + 'attention.attention.value.weight').T,
+                  'bias': g(p + 'attention.attention.value.bias')},
+            'attn_out': {'kernel': g(p + 'attention.output.dense.weight').T,
+                         'bias': g(p + 'attention.output.dense.bias')},
+            'layerscale1': g(p + 'layer_scale1.lambda1'),
+            'norm2': {'scale': g(p + 'norm2.weight'),
+                      'bias': g(p + 'norm2.bias')},
+            'fc1': {'kernel': g(p + 'mlp.fc1.weight').T,
+                    'bias': g(p + 'mlp.fc1.bias')},
+            'fc2': {'kernel': g(p + 'mlp.fc2.weight').T,
+                    'bias': g(p + 'mlp.fc2.bias')},
+            'layerscale2': g(p + 'layer_scale2.lambda1'),
+        }
+    return params
+
+
+def load_config_json(path: str) -> dict:
+    with open(os.path.join(path, 'config.json')) as f:
+        return json.load(f)

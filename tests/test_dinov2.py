@@ -1,0 +1,57 @@
+"""DINOv2 flax vs installed HF torch Dinov2Model parity (tiny config)."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+
+from groma_tpu.config import ViTConfig
+from groma_tpu.models.dinov2 import Dinov2Model
+from groma_tpu.checkpoint.hf_import import (
+    import_dinov2, to_numpy_state_dict, interpolate_pos_embed)
+
+
+def _torch_model():
+    from transformers import Dinov2Config, Dinov2Model as TorchDinov2
+    cfg = Dinov2Config(image_size=56, patch_size=14, hidden_size=32,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       mlp_ratio=4, layerscale_value=1.0,
+                       hidden_act='gelu', attention_probs_dropout_prob=0.0,
+                       hidden_dropout_prob=0.0, drop_path_rate=0.0)
+    torch.manual_seed(0)
+    return TorchDinov2(cfg).eval()
+
+
+def test_dinov2_matches_hf(rng):
+    tm = _torch_model()
+    cfg = ViTConfig(hidden_size=32, num_layers=2, num_heads=4, patch_size=14,
+                    image_size=56, dtype='float32')
+    params = import_dinov2(to_numpy_state_dict(tm), num_layers=2,
+                           patch_size=14)
+
+    img = rng.standard_normal((2, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        out = tm(torch.from_numpy(img), output_hidden_states=True)
+
+    model = Dinov2Model(cfg)
+    last, hidden = model.apply({'params': params},
+                               jnp.asarray(img.transpose(0, 2, 3, 1)))
+
+    np.testing.assert_allclose(np.asarray(last),
+                               out.last_hidden_state.numpy(), atol=2e-5)
+    assert len(hidden) == len(out.hidden_states)
+    for got, want in zip(hidden, out.hidden_states):
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+
+def test_pos_embed_bicubic_matches_torch(rng):
+    # importer's bicubic must match torch F.interpolate bicubic
+    src_grid, dst_grid, c = 7, 5, 6
+    pos = rng.standard_normal((1, 1 + src_grid * src_grid, c)).astype(np.float32)
+    got = interpolate_pos_embed(pos, src_grid, dst_grid)
+    patch = torch.from_numpy(
+        pos[:, 1:].reshape(1, src_grid, src_grid, c)).permute(0, 3, 1, 2)
+    want = torch.nn.functional.interpolate(
+        patch, size=(dst_grid, dst_grid), mode='bicubic',
+        align_corners=False).permute(0, 2, 3, 1).reshape(1, -1, c).numpy()
+    np.testing.assert_allclose(got[:, 1:], want, atol=1e-5)
+    np.testing.assert_allclose(got[:, :1], pos[:, :1], atol=0)
