@@ -162,6 +162,44 @@ def import_dinov2(sd: Dict[str, np.ndarray], num_layers: int,
     return params
 
 
+# ------------------------------------------------------------------- llama
+
+def import_llama(sd: Dict[str, np.ndarray], num_layers: int,
+                 prefix: str = '') -> dict:
+    """HF LlamaForCausalLM state dict -> flax params for models/llama.py.
+
+    ``prefix`` handles nesting inside composite checkpoints
+    (e.g. 'llm.' inside a full Groma checkpoint,
+    reference: groma/model/groma.py:104)."""
+
+    def g(name):
+        return sd[prefix + name]
+
+    model = {'norm': {'scale': g('model.norm.weight')}}
+    for i in range(num_layers):
+        p = f'model.layers.{i}.'
+        model[f'layers_{i}'] = {
+            'input_layernorm': {'scale': g(p + 'input_layernorm.weight')},
+            'post_attention_layernorm': {
+                'scale': g(p + 'post_attention_layernorm.weight')},
+            'self_attn': {
+                'q_proj': {'kernel': g(p + 'self_attn.q_proj.weight').T},
+                'k_proj': {'kernel': g(p + 'self_attn.k_proj.weight').T},
+                'v_proj': {'kernel': g(p + 'self_attn.v_proj.weight').T},
+                'o_proj': {'kernel': g(p + 'self_attn.o_proj.weight').T},
+            },
+            'gate_proj': {'kernel': g(p + 'mlp.gate_proj.weight').T},
+            'up_proj': {'kernel': g(p + 'mlp.up_proj.weight').T},
+            'down_proj': {'kernel': g(p + 'mlp.down_proj.weight').T},
+        }
+    params = {
+        'model': model,
+        'embed_tokens': g('model.embed_tokens.weight'),
+        'lm_head': {'kernel': g('lm_head.weight').T},
+    }
+    return params
+
+
 def load_config_json(path: str) -> dict:
     with open(os.path.join(path, 'config.json')) as f:
         return json.load(f)

@@ -1,0 +1,240 @@
+"""LLaMA decoder in flax (Vicuna-7B), HF ``LlamaForCausalLM`` semantics.
+
+The reference wraps HF's LlamaForCausalLM as the language model
+(reference: groma/model/groma.py:104-107) with a train-time flash-attn
+monkey patch (reference: groma/train/llama_flash_attn_monkey_patch.py).
+
+TPU-first design:
+* stateless KV cache as an explicit pytree argument (fixed ``max_len``
+  buffers + ``dynamic_update_slice``) so prefill and decode are two cached
+  XLA programs — replacing HF's python-side past_key_values plumbing
+  (reference: groma/model/groma.py:176-200 prepare_inputs_for_generation),
+* explicit ``position_ids`` (cumsum of the validity mask) so the fixed-
+  capacity token stream with mid-sequence pad slots is numerically equal to
+  the reference's compacted dynamic sequences,
+* Pallas flash attention for training, plain XLA dot-product attention for
+  single-token decode,
+* rotary tables computed in fp32 islands (HF parity), bf16 everywhere else.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from groma_tpu.config import LlamaConfig
+from groma_tpu.ops.flash_attention import flash_attention
+
+
+def rms_norm(x, scale, eps):
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return (x * scale.astype(jnp.float32)).astype(dt)
+
+
+class RMSNorm(nn.Module):
+    eps: float
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param('scale', nn.initializers.ones, (x.shape[-1],))
+        return rms_norm(x, scale, self.eps)
+
+
+def rope_tables(position_ids: jnp.ndarray, head_dim: int, theta: float):
+    """cos/sin of shape (B, S, head_dim), HF half-rotation layout."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2,
+                                           dtype=jnp.float32) / head_dim))
+    angles = position_ids.astype(jnp.float32)[..., None] * inv_freq
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x, cos, sin):
+    """x: (B, H, S, D); cos/sin: (B, S, D)."""
+    x32 = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x32[..., half:], x32[..., :half]], axis=-1)
+    out = x32 * cos[:, None] + rot * sin[:, None]
+    return out.astype(x.dtype)
+
+
+def make_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
+                  dtype=None) -> dict:
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    hd = cfg.hidden_size // cfg.num_heads
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, hd)
+    return {
+        'k': jnp.zeros(shape, dtype),
+        'v': jnp.zeros(shape, dtype),
+        'mask': jnp.zeros((batch, max_len), dtype=bool),
+        'index': jnp.zeros((), jnp.int32),
+    }
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, cos, sin, attn_mask, cache_kv=None,
+                 cache_index=None, use_flash=False):
+        c = self.cfg
+        b, s, _ = x.shape
+        hd = c.hidden_size // c.num_heads
+
+        def proj(name, width):
+            return nn.Dense(width, use_bias=False, dtype=self.dtype,
+                            name=name)(x)
+
+        q = proj('q_proj', c.num_heads * hd)
+        k = proj('k_proj', c.num_kv_heads * hd)
+        v = proj('v_proj', c.num_kv_heads * hd)
+        q = q.reshape(b, s, c.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, c.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, c.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache_kv = None
+        if cache_kv is not None:
+            ck, cv = cache_kv
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+            k, v = ck, cv
+            new_cache_kv = (ck, cv)
+
+        rep = c.num_heads // c.num_kv_heads
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+
+        if use_flash and cache_kv is None:
+            out = flash_attention(q, k, v, kv_mask=attn_mask, causal=True)
+        else:
+            scale = hd ** -0.5
+            sc = jnp.einsum('bhqd,bhkd->bhqk', q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * scale
+            skv = k.shape[2]
+            sc = jnp.where(attn_mask[:, None, None, :], sc, -1e30)
+            qi = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 0)
+            kj = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 1)
+            if cache_kv is None:
+                causal_ok = kj <= qi + (skv - s)
+                sc = jnp.where(causal_ok[None, None], sc, -1e30)
+            else:
+                # cache slots are written in order, so slot index == global
+                # position: query (cache_index + i) sees slots <= that.
+                causal_ok = kj <= qi + cache_index
+                sc = jnp.where(causal_ok[None, None], sc, -1e30)
+            p = jax.nn.softmax(sc, axis=-1)
+            out = jnp.einsum('bhqk,bhkd->bhqd', p,
+                             v.astype(jnp.float32)).astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, c.num_heads * hd)
+        out = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                       name='o_proj')(out)
+        return out, new_cache_kv
+
+
+class LlamaLayer(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, cos, sin, attn_mask, cache_kv=None,
+                 cache_index=None, use_flash=False):
+        c = self.cfg
+        h = RMSNorm(c.rms_norm_eps, name='input_layernorm')(x)
+        attn, new_cache = LlamaAttention(c, self.dtype, name='self_attn')(
+            h, cos, sin, attn_mask, cache_kv, cache_index, use_flash)
+        x = x + attn
+        h = RMSNorm(c.rms_norm_eps, name='post_attention_layernorm')(x)
+        gate = nn.Dense(c.intermediate_size, use_bias=False,
+                        dtype=self.dtype, name='gate_proj')(h)
+        up = nn.Dense(c.intermediate_size, use_bias=False,
+                      dtype=self.dtype, name='up_proj')(h)
+        down = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                        name='down_proj')(nn.silu(gate) * up)
+        return x + down, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder trunk; embedding lookup is the caller's job (Groma splices
+    visual embeddings into the stream before calling, reference:
+    groma/model/groma.py:359-369)."""
+    cfg: LlamaConfig
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, inputs_embeds, attn_mask, position_ids,
+                 cache: Optional[dict] = None, use_flash=False):
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        hd = c.hidden_size // c.num_heads
+        cos, sin = rope_tables(position_ids, hd, c.rope_theta)
+        x = inputs_embeds.astype(dtype)
+
+        kv_mask = attn_mask
+        if cache is not None:
+            # attn_mask marks validity of the *new* tokens (B, s); the
+            # layers see the whole fixed cache buffer through its mask.
+            s = inputs_embeds.shape[1]
+            kv_mask = jax.lax.dynamic_update_slice(
+                cache['mask'], attn_mask[:, :s], (0, cache['index']))
+
+        new_k, new_v = [], []
+        layer_cls = LlamaLayer
+        if self.remat:
+            layer_cls = nn.remat(LlamaLayer, static_argnums=(6,),
+                                 prevent_cse=False)
+        for i in range(c.num_layers):
+            cache_kv = None
+            cache_index = None
+            if cache is not None:
+                cache_kv = (cache['k'][i], cache['v'][i])
+                cache_index = cache['index']
+            x, updated = layer_cls(c, dtype, name=f'layers_{i}')(
+                x, cos, sin, kv_mask, cache_kv, cache_index, use_flash)
+            if updated is not None:
+                new_k.append(updated[0])
+                new_v.append(updated[1])
+        x = RMSNorm(c.rms_norm_eps, name='norm')(x)
+
+        new_cache = None
+        if cache is not None:
+            new_cache = {
+                'k': jnp.stack(new_k),
+                'v': jnp.stack(new_v),
+                'mask': kv_mask,
+                'index': cache['index'] + inputs_embeds.shape[1],
+            }
+        return x, new_cache
+
+
+class LlamaForCausalLM(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attn_mask=None, position_ids=None,
+                 cache=None, use_flash=False):
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        embed = self.param('embed_tokens', nn.initializers.normal(0.02),
+                           (c.vocab_size, c.hidden_size))
+        x = embed[input_ids].astype(dtype)
+        b, s = input_ids.shape
+        if attn_mask is None:
+            attn_mask = jnp.ones((b, s), bool)
+        if position_ids is None:
+            position_ids = jnp.cumsum(attn_mask, axis=-1) - 1
+        h, new_cache = LlamaModel(c, name='model')(
+            x, attn_mask, position_ids, cache, use_flash)
+        logits = nn.Dense(c.vocab_size, use_bias=False, dtype=dtype,
+                          name='lm_head')(h)
+        return logits, new_cache
