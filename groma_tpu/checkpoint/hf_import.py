@@ -200,6 +200,145 @@ def import_llama(sd: Dict[str, np.ndarray], num_layers: int,
     return params
 
 
+# ------------------------------------------------------------------- ddetr
+
+def _dense(sd, name):
+    return {'kernel': sd[name + '.weight'].T, 'bias': sd[name + '.bias']}
+
+
+def _ln(sd, name):
+    return {'scale': sd[name + '.weight'], 'bias': sd[name + '.bias']}
+
+
+def _conv(sd, name):
+    # torch (out, in, kh, kw) -> flax NHWC (kh, kw, in, out)
+    return {'kernel': sd[name + '.weight'].transpose(2, 3, 1, 0),
+            'bias': sd[name + '.bias']}
+
+
+def _convt(sd, name):
+    # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)
+    return {'kernel': sd[name + '.weight'].transpose(2, 3, 0, 1),
+            'bias': sd[name + '.bias']}
+
+
+def _msda(sd, p):
+    return {
+        'value_proj': _dense(sd, p + 'value_proj'),
+        'sampling_offsets': _dense(sd, p + 'sampling_offsets'),
+        'attention_weights': _dense(sd, p + 'attention_weights'),
+        'output_proj': _dense(sd, p + 'output_proj'),
+    }
+
+
+def _mlp3(sd, p):
+    return {f'layers_{i}': _dense(sd, f'{p}layers.{i}') for i in range(3)}
+
+
+def import_ddetr_transformer(sd: Dict[str, np.ndarray], encoder_layers: int,
+                             decoder_layers: int, prefix: str = '') -> dict:
+    """Reference DeformableDetrTransformer state dict -> flax params for
+    models/ddetr.py DDETRTransformer
+    (reference naming from groma/model/ddetr_transformer.py:295-359)."""
+
+    def k(name):
+        return prefix + name
+
+    s = {key[len(prefix):]: v for key, v in sd.items()
+         if key.startswith(prefix)}
+    params = {
+        'level_embed': s['level_embed'],
+        'query_position_embeddings': s['query_position_embeddings.weight'],
+        'enc_output': _dense(s, 'enc_output'),
+        'enc_output_norm': _ln(s, 'enc_output_norm'),
+        'pos_trans': _dense(s, 'pos_trans'),
+        'pos_trans_norm': _ln(s, 'pos_trans_norm'),
+        'class_embed_enc': _dense(s, 'class_embed_enc'),
+    }
+    for i in range(encoder_layers):
+        p = f'encoder.layers.{i}.'
+        params[f'encoder_layers_{i}'] = {
+            'self_attn': _msda(s, p + 'self_attn.'),
+            'self_attn_layer_norm': _ln(s, p + 'self_attn_layer_norm'),
+            'fc1': _dense(s, p + 'fc1'),
+            'fc2': _dense(s, p + 'fc2'),
+            'final_layer_norm': _ln(s, p + 'final_layer_norm'),
+        }
+    for i in range(decoder_layers):
+        p = f'decoder.layers.{i}.'
+        params[f'decoder_layers_{i}'] = {
+            'self_attn_q': _dense(s, p + 'self_attn.q_proj'),
+            'self_attn_k': _dense(s, p + 'self_attn.k_proj'),
+            'self_attn_v': _dense(s, p + 'self_attn.v_proj'),
+            'self_attn_out': _dense(s, p + 'self_attn.out_proj'),
+            'self_attn_layer_norm': _ln(s, p + 'self_attn_layer_norm'),
+            'encoder_attn': _msda(s, p + 'encoder_attn.'),
+            'encoder_attn_layer_norm': _ln(s, p + 'encoder_attn_layer_norm'),
+            'fc1': _dense(s, p + 'fc1'),
+            'fc2': _dense(s, p + 'fc2'),
+            'final_layer_norm': _ln(s, p + 'final_layer_norm'),
+        }
+    for i in range(decoder_layers):
+        params[f'class_embed_coco_{i}'] = _dense(s, f'class_embed_coco.{i}')
+        params[f'class_embed_sa1b_{i}'] = _dense(s, f'class_embed_sa1b.{i}')
+    for i in range(decoder_layers + 1):
+        params[f'bbox_embed_{i}'] = _mlp3(s, f'bbox_embed.{i}.')
+    return params
+
+
+def import_input_proj(sd: Dict[str, np.ndarray], num_feature_levels: int,
+                      prefix: str = 'input_proj.') -> dict:
+    """Reference conv-pyramid Sequential -> flax InputProj params
+    (reference: groma/model/ddetr.py:113-152; list is reversed, so flax
+    input_proj_0 maps to reference input_proj.0 == recipe nfl-1)."""
+    out = {}
+    if num_feature_levels == 1:
+        out['input_proj_0'] = {'conv0': _conv(sd, prefix + '0.0'),
+                               'ln0': _ln(sd, prefix + '0.1')}
+        return out
+    order = list(range(num_feature_levels))[::-1]
+    for i, recipe in enumerate(order):
+        p = f'{prefix}{i}.'
+        if recipe == 0:
+            out[f'input_proj_{i}'] = {'conv0': _conv(sd, p + '0'),
+                                      'ln0': _ln(sd, p + '1')}
+        elif recipe == 1:
+            out[f'input_proj_{i}'] = {'conv0': _conv(sd, p + '0'),
+                                      'ln0': _ln(sd, p + '1')}
+        elif recipe == 2:
+            out[f'input_proj_{i}'] = {
+                'convt0': _convt(sd, p + '0'),
+                'conv1': _conv(sd, p + '1'),
+                'ln0': _ln(sd, p + '2'),
+                'conv2': _conv(sd, p + '3'),
+            }
+        elif recipe == 3:
+            out[f'input_proj_{i}'] = {
+                'convt0': _convt(sd, p + '0'),
+                'ln0': _ln(sd, p + '1'),
+                'convt1': _convt(sd, p + '3'),
+                'conv1': _conv(sd, p + '4'),
+                'ln1': _ln(sd, p + '5'),
+                'conv2': _conv(sd, p + '6'),
+            }
+    return out
+
+
+def import_perceiver(sd: Dict[str, np.ndarray], vit_layers: int,
+                     encoder_layers: int, decoder_layers: int,
+                     num_feature_levels: int, patch_size: int = 14,
+                     deploy_grid: int | None = None,
+                     prefix: str = '') -> dict:
+    """Full CustomDDETRModel checkpoint -> flax Perceiver params."""
+    s = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params = {'vis_encoder': import_dinov2(
+        s, vit_layers, patch_size, deploy_grid=deploy_grid)}
+    params.update(import_input_proj(s, num_feature_levels))
+    params['ddetr_transformer'] = import_ddetr_transformer(
+        s, encoder_layers, decoder_layers, prefix='ddetr_transformer.')
+    return params
+
+
 def load_config_json(path: str) -> dict:
     with open(os.path.join(path, 'config.json')) as f:
         return json.load(f)

@@ -1,0 +1,319 @@
+"""Two-stage Deformable-DETR region proposer in flax.
+
+Re-design of the reference's DDETR head
+(reference: groma/model/ddetr_transformer.py:295-802 DeformableDetrTransformer,
+built on HF DeformableDetrEncoder/Decoder) with TPU-static shapes throughout.
+
+Faithfully reproduced reference behaviors (parity-critical):
+* two-stage proposal generation: per-cell anchors (grid+0.5)/size with
+  wh = 0.05 * 2^level, inverse-sigmoid space, validity window (0.01, 0.99)
+  (reference: ddetr_transformer.py:383-430),
+* top-k selection by the *first* class logit of ``class_embed_enc``
+  (reference: :554-563),
+* decoder box refinement WITHOUT updating/detaching the cross-attention
+  reference points — the ``reference_points = new_reference_points.detach()``
+  line is commented out in the reference (ddetr_transformer.py:163), so
+  every decoder layer cross-attends at the *initial* top-k references while
+  the per-layer heads chain refinements (:696-711); gradients flow through
+  the reference chain,
+* dual objectness heads ``coco`` / ``sa1b`` per decoder layer (:341-342),
+* query targets come from a learned embedding while positional queries come
+  from the proposal position embedding (reference deviation from stock HF,
+  :564-568).
+
+All masks are assumed valid (Groma always feeds full square images,
+reference: groma/model/ddetr.py:187), which makes valid_ratios == 1 and
+lets every shape be static.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from groma_tpu.config import DDETRConfig
+from groma_tpu.models.layers import (MLP, multi_head_attention,
+                                     proposal_position_embedding,
+                                     sine_position_embedding_2d)
+from groma_tpu.ops.bbox import inverse_sigmoid
+from groma_tpu.ops.msda import (ms_deform_attn,
+                                sampling_locations_from_reference)
+
+PROPOSAL_INF = 1e4   # stand-in for the reference's masked_fill(inf)
+
+
+def _offset_bias_init(num_heads, n_levels, n_points):
+    """HF MSDA sampling_offsets bias init: ring of unit directions scaled
+    per point (DeformableDetrMultiscaleDeformableAttention._reset_parameters)."""
+    thetas = jnp.arange(num_heads, dtype=jnp.float32) \
+        * (2.0 * math.pi / num_heads)
+    grid = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], -1)      # (H, 2)
+    grid = grid / jnp.max(jnp.abs(grid), axis=-1, keepdims=True)
+    grid = jnp.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    scale = jnp.arange(1, n_points + 1, dtype=jnp.float32)[None, None, :, None]
+    return (grid * scale).reshape(-1)
+
+
+class MSDAttention(nn.Module):
+    """Deformable attention module (HF MSDA semantics) on the Pallas/XLA
+    sampling core in ops/msda.py."""
+    cfg: DDETRConfig
+    n_points: int
+
+    @nn.compact
+    def __call__(self, query, reference_points, value,
+                 spatial_shapes: Tuple[Tuple[int, int], ...]):
+        c = self.cfg
+        b, s, d = value.shape
+        q = query.shape[1]
+        nh = c.num_heads
+        nl = len(spatial_shapes)
+        hd = d // nh
+
+        v = nn.Dense(d, name='value_proj')(value).reshape(b, s, nh, hd)
+        offsets = nn.Dense(
+            nh * nl * self.n_points * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32:
+                _offset_bias_init(nh, nl, self.n_points).astype(dtype),
+            name='sampling_offsets')(query)
+        offsets = offsets.reshape(b, q, nh, nl, self.n_points, 2)
+        attn = nn.Dense(nh * nl * self.n_points,
+                        name='attention_weights')(query)
+        attn = jax.nn.softmax(attn.reshape(b, q, nh, nl * self.n_points), -1)
+        attn = attn.reshape(b, q, nh, nl, self.n_points)
+        loc = sampling_locations_from_reference(
+            reference_points, offsets, spatial_shapes, self.n_points)
+        out = ms_deform_attn(v, spatial_shapes, loc, attn)
+        return nn.Dense(d, name='output_proj')(out)
+
+
+class EncoderLayer(nn.Module):
+    cfg: DDETRConfig
+
+    @nn.compact
+    def __call__(self, hidden, pos, reference_points, spatial_shapes,
+                 deterministic=True):
+        c = self.cfg
+        attn = MSDAttention(c, c.enc_n_points, name='self_attn')(
+            hidden + pos, reference_points, hidden, spatial_shapes)
+        attn = nn.Dropout(c.dropout, deterministic=deterministic)(attn)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                              name='self_attn_layer_norm')(hidden + attn)
+        h = nn.relu(nn.Dense(c.ffn_dim, name='fc1')(hidden))
+        h = nn.Dropout(c.activation_dropout, deterministic=deterministic)(h)
+        h = nn.Dense(c.d_model, name='fc2')(h)
+        h = nn.Dropout(c.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps,
+                            name='final_layer_norm')(hidden + h)
+
+
+def encoder_reference_points(spatial_shapes) -> jnp.ndarray:
+    """(S, L, 2) normalized cell centers, valid_ratios == 1
+    (HF DeformableDetrEncoder.get_reference_points)."""
+    refs = []
+    for (h, w) in spatial_shapes:
+        ry = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        rx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        yy = jnp.broadcast_to(ry[:, None], (h, w))
+        xx = jnp.broadcast_to(rx[None, :], (h, w))
+        refs.append(jnp.stack([xx, yy], -1).reshape(h * w, 2))
+    ref = jnp.concatenate(refs, axis=0)                  # (S, 2)
+    nl = len(spatial_shapes)
+    return jnp.tile(ref[:, None, :], (1, nl, 1))         # (S, L, 2)
+
+
+class DecoderLayer(nn.Module):
+    cfg: DDETRConfig
+
+    @nn.compact
+    def __call__(self, hidden, query_pos, encoder_hidden, reference_points,
+                 spatial_shapes, deterministic=True):
+        c = self.cfg
+        # self attention (standard MHA, q = k = hidden + query_pos)
+        qk = hidden + query_pos
+        q = nn.Dense(c.d_model, name='self_attn_q')(qk)
+        k = nn.Dense(c.d_model, name='self_attn_k')(qk)
+        v = nn.Dense(c.d_model, name='self_attn_v')(hidden)
+        sa = multi_head_attention(q, k, v, c.num_heads)
+        sa = nn.Dense(c.d_model, name='self_attn_out')(sa)
+        sa = nn.Dropout(c.dropout, deterministic=deterministic)(sa)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                              name='self_attn_layer_norm')(hidden + sa)
+        # cross attention (MSDA into encoder memory)
+        ca = MSDAttention(c, c.dec_n_points, name='encoder_attn')(
+            hidden + query_pos, reference_points, encoder_hidden,
+            spatial_shapes)
+        ca = nn.Dropout(c.dropout, deterministic=deterministic)(ca)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                              name='encoder_attn_layer_norm')(hidden + ca)
+        h = nn.relu(nn.Dense(c.ffn_dim, name='fc1')(hidden))
+        h = nn.Dropout(c.activation_dropout, deterministic=deterministic)(h)
+        h = nn.Dense(c.d_model, name='fc2')(h)
+        h = nn.Dropout(c.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps,
+                            name='final_layer_norm')(hidden + h)
+
+
+class DDETRTransformer(nn.Module):
+    """Encoder + two-stage proposals + decoder + per-layer heads.
+
+    __call__ takes the projected multi-scale sources (list of (B, H, W, C))
+    and returns a dict: logits {'coco','sa1b'} (B, Q, num_labels),
+    pred_boxes (B, Q, 4) cxcywh, per-layer aux outputs, enc outputs, and the
+    decoder intermediates.
+    """
+    cfg: DDETRConfig
+
+    @nn.compact
+    def __call__(self, sources: Sequence[jnp.ndarray], deterministic=True):
+        c = self.cfg
+        assert c.two_stage and c.with_box_refine, \
+            'Groma ships the two-stage box-refine configuration'
+        b = sources[0].shape[0]
+        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in sources)
+        nl = len(spatial_shapes)
+        assert nl == c.num_feature_levels
+
+        level_embed = self.param('level_embed', nn.initializers.normal(1.0),
+                                 (c.num_feature_levels, c.d_model))
+
+        flat, pos_flat = [], []
+        for lvl, src in enumerate(sources):
+            h, w = spatial_shapes[lvl]
+            flat.append(src.reshape(b, h * w, c.d_model))
+            pos = sine_position_embedding_2d(h, w, c.d_model)
+            pos_flat.append(pos.reshape(1, h * w, c.d_model)
+                            + level_embed[lvl][None, None])
+        src_flat = jnp.concatenate(flat, axis=1)              # (B, S, C)
+        pos_flat = jnp.broadcast_to(
+            jnp.concatenate(pos_flat, axis=1), src_flat.shape)
+
+        # ---------------- encoder
+        enc_ref = encoder_reference_points(spatial_shapes)[None]
+        enc_ref = jnp.broadcast_to(enc_ref,
+                                   (b,) + enc_ref.shape[1:])
+        hidden = src_flat
+        for i in range(c.encoder_layers):
+            hidden = EncoderLayer(c, name=f'encoder_layers_{i}')(
+                hidden, pos_flat, enc_ref, spatial_shapes, deterministic)
+        encoder_hidden = hidden
+
+        # ---------------- two-stage proposal generation
+        # (reference: ddetr_transformer.py:383-430,546-568)
+        proposals = []
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            gy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            gx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            yy = jnp.broadcast_to(gy[:, None], (h, w))
+            xx = jnp.broadcast_to(gx[None, :], (h, w))
+            wh = jnp.full((h, w, 2), 0.05 * (2.0 ** lvl))
+            prop = jnp.concatenate([jnp.stack([xx, yy], -1), wh], -1)
+            proposals.append(prop.reshape(h * w, 4))
+        output_proposals = jnp.concatenate(proposals, 0)[None]     # (1,S,4)
+        valid = jnp.all((output_proposals > 0.01)
+                        & (output_proposals < 0.99), -1, keepdims=True)
+        output_proposals = jnp.log(
+            output_proposals / (1.0 - output_proposals))
+        output_proposals = jnp.where(valid, output_proposals, PROPOSAL_INF)
+        output_proposals = jnp.broadcast_to(
+            output_proposals, (b,) + output_proposals.shape[1:])
+
+        object_query = jnp.where(valid, encoder_hidden, 0.0)
+        object_query = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                                    name='enc_output_norm')(
+            nn.Dense(c.d_model, name='enc_output')(object_query))
+
+        # shared prediction heads (clones per decoder layer + 1 enc head);
+        # class bias at focal prior 0.01, bbox last layer zero-init
+        # (reference: ddetr_transformer.py:321-359)
+        num_pred = c.decoder_layers
+        prior_bias = -math.log((1 - 0.01) / 0.01)
+        cls_bias = nn.initializers.constant(prior_bias)
+        bbox_heads = [MLP(256, 4, 3, name=f'bbox_embed_{i}',
+                          final_kernel_init=nn.initializers.zeros,
+                          final_bias_init=nn.initializers.zeros)
+                      for i in range(num_pred + 1)]
+        coco_heads = [nn.Dense(c.num_labels, bias_init=cls_bias,
+                               name=f'class_embed_coco_{i}')
+                      for i in range(num_pred)]
+        sa1b_heads = [nn.Dense(c.num_labels, bias_init=cls_bias,
+                               name=f'class_embed_sa1b_{i}')
+                      for i in range(num_pred)]
+        class_embed_enc = nn.Dense(c.num_labels, bias_init=cls_bias,
+                                   name='class_embed_enc')
+
+        enc_outputs_class = class_embed_enc(object_query)       # (B,S,NL)
+        delta = bbox_heads[-1](object_query)
+        enc_outputs_coord_logits = delta + output_proposals
+
+        topk = c.num_queries
+        _, topk_idx = jax.lax.top_k(enc_outputs_class[..., 0], topk)
+        topk_coords_logits = jnp.take_along_axis(
+            enc_outputs_coord_logits, topk_idx[..., None], axis=1)
+        topk_coords_logits = jax.lax.stop_gradient(topk_coords_logits)
+        reference_points = jax.nn.sigmoid(topk_coords_logits)
+        init_reference_points = reference_points
+
+        pos_trans_in = proposal_position_embedding(
+            topk_coords_logits, num_pos_feats=c.d_model // 2)
+        pos_trans = nn.Dense(c.d_model * 2, name='pos_trans')(pos_trans_in)
+        pos_trans = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                                 name='pos_trans_norm')(pos_trans)
+        query_pos, _ = jnp.split(pos_trans, 2, axis=-1)
+        # targets come from the learned query embedding
+        # (reference deviation from stock HF: ddetr_transformer.py:567)
+        query_embeds = self.param('query_position_embeddings',
+                                  nn.initializers.normal(1.0),
+                                  (c.num_queries, c.d_model))
+        target = jnp.broadcast_to(query_embeds[None],
+                                  (b, c.num_queries, c.d_model))
+
+        # ---------------- decoder (reference points NOT updated per layer,
+        # reference: ddetr_transformer.py:163 commented detach)
+        ref_input = reference_points[:, :, None, :]
+        ref_input = jnp.broadcast_to(
+            ref_input, (b, topk, nl, 4))
+        hidden = target
+        intermediate = []
+        intermediate_reference_points = []
+        for i in range(c.decoder_layers):
+            hidden = DecoderLayer(c, name=f'decoder_layers_{i}')(
+                hidden, query_pos, encoder_hidden, ref_input,
+                spatial_shapes, deterministic)
+            new_ref = jax.nn.sigmoid(
+                bbox_heads[i](hidden) + inverse_sigmoid(reference_points))
+            intermediate.append(hidden)
+            intermediate_reference_points.append(new_ref)
+
+        # ---------------- per-layer outputs (reference: :696-728)
+        outputs_classes_coco, outputs_classes_sa1b, outputs_coords = [], [], []
+        for lvl in range(c.decoder_layers):
+            ref = init_reference_points if lvl == 0 \
+                else intermediate_reference_points[lvl - 1]
+            ref = inverse_sigmoid(ref)
+            outputs_classes_coco.append(coco_heads[lvl](intermediate[lvl]))
+            outputs_classes_sa1b.append(sa1b_heads[lvl](intermediate[lvl]))
+            delta_bbox = bbox_heads[lvl](intermediate[lvl])
+            outputs_coords.append(jax.nn.sigmoid(delta_bbox + ref))
+
+        return {
+            'logits': {'coco': outputs_classes_coco[-1],
+                       'sa1b': outputs_classes_sa1b[-1]},
+            'pred_boxes': outputs_coords[-1],
+            'aux': {
+                'coco': outputs_classes_coco[:-1],
+                'sa1b': outputs_classes_sa1b[:-1],
+                'boxes': outputs_coords[:-1],
+            },
+            'enc_outputs_class': enc_outputs_class,
+            'enc_outputs_coord': jax.nn.sigmoid(enc_outputs_coord_logits),
+            'init_reference_points': init_reference_points,
+            'intermediate_hidden_states': jnp.stack(intermediate, 1),
+            'intermediate_reference_points': jnp.stack(
+                intermediate_reference_points, 1),
+        }

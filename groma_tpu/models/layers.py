@@ -20,14 +20,21 @@ class MLP(nn.Module):
     output_dim: int
     num_layers: int
     dtype: jnp.dtype = jnp.float32
+    final_kernel_init: object = None
+    final_bias_init: object = None
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers):
-            out = self.output_dim if i == self.num_layers - 1 \
-                else self.hidden_dim
-            x = nn.Dense(out, dtype=self.dtype, name=f'layers_{i}')(x)
-            if i < self.num_layers - 1:
+            last = i == self.num_layers - 1
+            kw = {}
+            if last and self.final_kernel_init is not None:
+                kw['kernel_init'] = self.final_kernel_init
+            if last and self.final_bias_init is not None:
+                kw['bias_init'] = self.final_bias_init
+            x = nn.Dense(self.output_dim if last else self.hidden_dim,
+                         dtype=self.dtype, name=f'layers_{i}', **kw)(x)
+            if not last:
                 x = nn.relu(x)
         return x
 
