@@ -339,6 +339,47 @@ def import_perceiver(sd: Dict[str, np.ndarray], vit_layers: int,
     return params
 
 
+# ---------------------------------------------------------- region encoder
+
+def import_region_encoder(sd: Dict[str, np.ndarray], num_levels: int = 3,
+                          num_fuse: int = 5, embed_dims: int = 1024,
+                          roi_out: int = 14, prefix: str = '') -> dict:
+    """Reference MLVLROIQueryModule state dict -> flax RegionEncoder params
+    (reference naming from groma/model/roi_align.py:196-326).
+
+    The reference flattens pooled features channel-major (NCHW flatten,
+    roi_align.py:318); our NHWC flatten is (y, x, c)-major, so the
+    flatten_linear kernel rows are permuted accordingly.
+    """
+    s = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    fuse = {}
+    for lvl in range(num_levels):
+        fuse[f'input_conv_{lvl}'] = _conv(s, f'mlvl_fuse.input_conv.{lvl}')
+    for i in range(num_fuse):
+        fuse[f'fuse_conv_{i}'] = {
+            'conv': {'kernel':
+                     s[f'mlvl_fuse.fuse_convs.{i}.conv.weight']
+                     .transpose(2, 3, 1, 0)},
+            'gn': _ln(s, f'mlvl_fuse.fuse_convs.{i}.gn'),
+        }
+    params = {'mlvl_fuse': fuse}
+    for lvl in range(num_levels):
+        params[f'pconv_{lvl}'] = _conv(s, f'roi_align.pconvs.{lvl}')
+    params['pos_fc1'] = _dense(s, 'roi_align.pos_embedd.0')
+    params['pos_ln1'] = _ln(s, 'roi_align.pos_embedd.2')
+    params['pos_fc2'] = _dense(s, 'roi_align.pos_embedd.3')
+    params['pos_ln2'] = _ln(s, 'roi_align.pos_embedd.5')
+    params['updims'] = _dense(s, 'roi_align.updims')
+
+    w = s['roi_align.flatten_linear.weight']          # (1024, C*H*W) NCHW
+    out_dim = w.shape[0]
+    w = w.reshape(out_dim, embed_dims, roi_out, roi_out)
+    w = w.transpose(0, 2, 3, 1).reshape(out_dim, -1)  # -> (out, H*W*C)
+    params['flatten_linear'] = {'kernel': w.T,
+                                'bias': s['roi_align.flatten_linear.bias']}
+    return params
+
+
 def load_config_json(path: str) -> dict:
     with open(os.path.join(path, 'config.json')) as f:
         return json.load(f)

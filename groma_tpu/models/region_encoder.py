@@ -1,0 +1,212 @@
+"""Region tokenizer: multi-level fusion + RoIAlign -> region tokens.
+
+Re-design of the reference's MLVLROIQueryModule / MLVLFuseModule /
+MlvlRoIExtractor (reference: groma/model/roi_align.py:97-326) with static
+(B, R) region capacity and NHWC layout.
+
+Parity-critical reference behaviors preserved:
+* the last-3 ViT hidden layers are bilinear-upsampled (align_corners=True)
+  to [4x, 2x, 1x] of the 32x32 base grid, largest first
+  (reference: roi_align.py:220-227),
+* coord-conv channels appended as linspace(-1, 1) x then y grids
+  (reference: roi_align.py:118-126),
+* 5 rounds of cross-level channel-shuffle fusion: keep the first 512
+  channels, pull channels 768:1024 from the next-coarser level and 512:768
+  from the next-finer level, both bilinear align_corners=True resized, then
+  3x3 conv + GroupNorm(64) + ReLU (reference: roi_align.py:150-178;
+  mmcv ConvModule => conv has no bias when followed by a norm),
+* **the cxcywh quirk**: RoIAlign receives ``boxes * 448`` used directly as
+  (x1, y1, x2, y2) corners even though the boxes are normalized cxcywh —
+  the reference never converts (reference: roi_align.py:288-294), and the
+  released checkpoints are trained with exactly these semantics, so we
+  reproduce them bit-for-bit (boxes with w < cx produce negative-extent
+  rois whose out-of-map samples are zero),
+* RoIAlign strides [14/8, 14/4, 14/2] overshoot the actual feature sizes
+  2x (reference: roi_align.py:204) — also preserved,
+* RoIAlign runs in fp32 islands inside a bf16 model
+  (reference: roi_align.py:303),
+* box position MLP(4->256->1024 with ReLU+LayerNorm) added before the final
+  1024->4096 up-projection (reference: roi_align.py:254-262,320-321).
+
+TPU-first notes: align_corners=True bilinear resize is expressed as two
+dense interpolation matmuls (MXU) instead of a gather; all R region slots
+are processed unconditionally and invalid slots masked by the caller.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from groma_tpu.config import PerceiverConfig
+from groma_tpu.ops.roi_align import roi_align
+
+
+def _align_corners_matrix(out_size: int, in_size: int) -> jnp.ndarray:
+    """(out, in) bilinear interpolation matrix with align_corners=True."""
+    if in_size == 1:
+        return jnp.ones((out_size, 1), jnp.float32)
+    if out_size == 1:
+        m = jnp.zeros((1, in_size), jnp.float32)
+        return m.at[0, 0].set(1.0)
+    scale = (in_size - 1) / (out_size - 1)
+    src = jnp.arange(out_size, dtype=jnp.float32) * scale
+    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    frac = src - lo.astype(jnp.float32)
+    m = jnp.zeros((out_size, in_size), jnp.float32)
+    rows = jnp.arange(out_size)
+    m = m.at[rows, lo].add(1.0 - frac)
+    m = m.at[rows, hi].add(frac)
+    return m
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """NHWC bilinear resize, align_corners=True, as two matmuls."""
+    oh, ow = out_hw
+    b, h, w, c = x.shape
+    ah = _align_corners_matrix(oh, h)
+    aw = _align_corners_matrix(ow, w)
+    x = jnp.einsum('oh,bhwc->bowc', ah, x.astype(jnp.float32))
+    x = jnp.einsum('ow,bhwc->bhoc', aw, x)
+    return x
+
+
+class ConvModuleGN(nn.Module):
+    """mmcv ConvModule(conv 3x3 no-bias -> GroupNorm(64) -> ReLU)."""
+    features: int
+    groups: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, name='conv')(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name='gn')(x)
+        return nn.relu(x)
+
+
+class MLVLFuse(nn.Module):
+    """(reference: groma/model/roi_align.py:97-193 MLVLFuseModule)."""
+    embed_dims: int = 1024
+    num_levels: int = 3
+    num_fuse: int = 5
+    gn_groups: int = 64
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        d = self.embed_dims
+        shuffle = d // 4
+        remain = d - 2 * shuffle
+
+        # coord-conv channels + 1x1 input convs
+        withcoord = []
+        for lvl, f in enumerate(feats):
+            b, h, w, _ = f.shape
+            xs = jnp.linspace(-1.0, 1.0, w)
+            ys = jnp.linspace(-1.0, 1.0, h)
+            xg = jnp.broadcast_to(xs[None, :], (h, w))
+            yg = jnp.broadcast_to(ys[:, None], (h, w))
+            coord = jnp.broadcast_to(jnp.stack([xg, yg], -1)[None],
+                                     (b, h, w, 2)).astype(f.dtype)
+            f = jnp.concatenate([f, coord], axis=-1)
+            withcoord.append(
+                nn.Conv(d, (1, 1), name=f'input_conv_{lvl}')(f))
+        feats = withcoord
+
+        fuse_convs = [ConvModuleGN(d, self.gn_groups, name=f'fuse_conv_{i}')
+                      for i in range(self.num_fuse)]
+        n = self.num_levels
+        for conv in fuse_convs:
+            fused = []
+            for lvl in range(n):
+                top = min(lvl + 1, n - 1)
+                down = max(lvl - 1, 0)
+                tar = feats[lvl]
+                hw = tar.shape[1:3]
+                keep = tar[..., :remain]
+                from_top = resize_bilinear_align_corners(
+                    feats[top][..., remain + shuffle:], hw).astype(tar.dtype)
+                from_down = resize_bilinear_align_corners(
+                    feats[down][..., remain:remain + shuffle],
+                    hw).astype(tar.dtype)
+                fused.append(jnp.concatenate([keep, from_top, from_down],
+                                             axis=-1))
+            feats = [conv(f) for f in fused]
+        return feats
+
+
+class RegionEncoder(nn.Module):
+    """(B, R, 4) normalized cxcywh boxes -> (B, R, out_dims) region tokens.
+
+    (reference: groma/model/roi_align.py:196-326)
+    """
+    embed_dims: int = 1024
+    out_dims: int = 4096
+    num_levels: int = 3
+    image_size: int = 448
+    roi_out: int = 14
+    num_fuse: int = 5
+    gn_groups: int = 64
+
+    @nn.compact
+    def __call__(self, mlvl_feats: Sequence[jnp.ndarray], boxes: jnp.ndarray):
+        d = self.embed_dims
+        nl = self.num_levels
+        assert len(mlvl_feats) == nl
+        b, r, _ = boxes.shape
+
+        # token maps -> 2D NHWC, upsample to [4x, 2x, 1x] of the base grid
+        feats2d = []
+        for f in mlvl_feats:
+            if f.ndim == 3:
+                bb, l, c = f.shape
+                g = int(round(l ** 0.5))
+                f = f.reshape(bb, g, g, c)
+            feats2d.append(f)
+        base = feats2d[0].shape[1]
+        to_shape = [(base * 2 ** lvl,) * 2 for lvl in range(nl)][::-1]
+        feats2d = [resize_bilinear_align_corners(f, s)
+                   for f, s in zip(feats2d, to_shape)]
+
+        fused = MLVLFuse(d, nl, num_fuse=self.num_fuse,
+                         gn_groups=self.gn_groups, name='mlvl_fuse')(feats2d)
+
+        # position embedding of the raw normalized boxes
+        # (reference: roi_align.py:254-261,278)
+        h = nn.relu(nn.Dense(256, name='pos_fc1')(boxes.astype(jnp.float32)))
+        h = nn.LayerNorm(name='pos_ln1')(h)
+        h = nn.relu(nn.Dense(1024, name='pos_fc2')(h))
+        pos = nn.LayerNorm(name='pos_ln2')(h)             # (B, R, 1024)
+
+        # rois: THE cxcywh-as-xyxy quirk — multiply by image size, no
+        # format conversion (reference: roi_align.py:289-294)
+        batch_idx = jnp.broadcast_to(
+            jnp.arange(b, dtype=jnp.float32)[:, None], (b, r))
+        rois = jnp.concatenate(
+            [batch_idx.reshape(-1, 1),
+             (boxes * self.image_size).reshape(-1, 4).astype(jnp.float32)],
+            axis=-1)                                       # (B*R, 5)
+
+        strides = [14 / 8, 14 / 4, 14 / 2]
+        acc = None
+        for lvl in range(nl):
+            pooled = roi_align(fused[lvl].astype(jnp.float32), rois,
+                               output_size=self.roi_out,
+                               spatial_scale=1.0 / strides[lvl],
+                               sampling_ratio=2, aligned=True)
+            pooled = pooled.astype(fused[lvl].dtype)
+            proj = nn.Conv(d, (3, 3), padding=((1, 1), (1, 1)),
+                           name=f'pconv_{lvl}')(pooled)
+            acc = proj if acc is None else acc + proj
+        acc = nn.relu(acc)                                 # (B*R, 14, 14, d)
+        flat = acc.reshape(b * r, -1)
+        # NOTE: the reference flattens NCHW (channel-major); our NHWC
+        # flatten permutes features, so the flatten_linear kernel is
+        # re-ordered correspondingly at import time (hf_import.py).
+        tokens = nn.Dense(1024, name='flatten_linear')(flat)
+        tokens = tokens.reshape(b, r, 1024) + pos
+        return nn.Dense(self.out_dims, name='updims')(tokens)
