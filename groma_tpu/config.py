@@ -167,6 +167,10 @@ class GromaConfig(_ConfigBase):
     ground_box_score: float = 0.2
     num_image_tokens: int = 256    # 32x32 patches, 2x2 space-to-depth
     max_seq_len: int = 2048
+    # region tokenizer shape knobs (reference: groma/model/roi_align.py:196-264)
+    region_roi_out: int = 14
+    region_num_fuse: int = 5
+    region_gn_groups: int = 64
 
     @property
     def vocab_size(self) -> int:
@@ -196,7 +200,7 @@ def tiny_groma_config(**overrides) -> GromaConfig:
     reference's debug.sh single-GPU path, reference: scripts/debug.sh)."""
     vit = ViTConfig(hidden_size=32, num_layers=4, num_heads=4, patch_size=14,
                     image_size=56, dtype='float32')
-    ddetr = DDETRConfig(d_model=32, num_queries=24, encoder_layers=2,
+    ddetr = DDETRConfig(d_model=32, num_queries=12, encoder_layers=2,
                         decoder_layers=2, num_heads=4, ffn_dim=64,
                         dtype='float32')
     perceiver = PerceiverConfig(vit=vit, ddetr=ddetr, image_size=56)
@@ -204,5 +208,7 @@ def tiny_groma_config(**overrides) -> GromaConfig:
                       num_layers=2, num_heads=4, num_kv_heads=4,
                       max_position_embeddings=512, dtype='float32')
     cfg = GromaConfig(llm=llm, perceiver=perceiver, num_new_token=117,
-                      max_region_num=8, num_image_tokens=4, max_seq_len=128)
+                      max_region_num=8, num_image_tokens=4, max_seq_len=128,
+                      region_roi_out=4, region_num_fuse=2,
+                      region_gn_groups=8)
     return cfg.replace(**overrides) if overrides else cfg
