@@ -1,0 +1,107 @@
+"""Device mesh + GSPMD sharding rules.
+
+TPU-native replacement for the reference's torchrun/NCCL distributed stack
+(reference: groma/utils.py:143-185 init_distributed_mode, scripts/*.sh
+torchrun, scripts/fsdp_config.json FSDP full_shard).  One
+``jax.sharding.Mesh`` with axes (dp, fsdp, tp); all collectives are
+GSPMD-inserted over ICI:
+
+* DDP                 -> batch sharded over (dp, fsdp), params replicated
+* FSDP full_shard     -> params additionally sharded over the fsdp axis
+  (compiler-scheduled all-gather / reduce-scatter, the same memory effect
+  as wrapping LlamaDecoderLayer, reference: scripts/fsdp_config.json)
+* tensor parallel     -> optional megatron-style sharding of the LLM
+  matmuls over tp (headroom the reference lacks, SURVEY §2.8)
+
+No hand-written communication layer exists anywhere in this framework —
+that is the point.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 1, fsdp: Optional[int] = None, tp: int = 1,
+              devices=None) -> Mesh:
+    """Build a (dp, fsdp, tp) mesh; fsdp defaults to 'everything else'."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if fsdp is None:
+        fsdp = n // (dp * tp)
+    assert dp * fsdp * tp == n, (dp, fsdp, tp, n)
+    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, ('dp', 'fsdp', 'tp'))
+
+
+# Megatron-style tensor-parallel rules for the LLM (regex on param path).
+# Column-parallel kernels shard the output dim, row-parallel the input dim.
+_TP_RULES = [
+    (r'(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$', 1),
+    (r'(o_proj|down_proj)/kernel$', 0),
+    (r'(^|/)lm_head/kernel$', 1),
+    (r'(^|/)extra_lm_head/kernel$', 1),
+    (r'(^|/)embed_tokens$', 0),
+]
+
+
+def param_pspec(path: str, shape, mesh: Mesh,
+                fsdp_min_size: int = 2 ** 16) -> P:
+    """PartitionSpec for one parameter.
+
+    tp rules take the matched dim; fsdp then shards the largest remaining
+    dim that divides evenly; small params stay replicated.
+    """
+    spec = [None] * len(shape)
+    tp_size = mesh.shape['tp']
+    fsdp_size = mesh.shape['fsdp']
+
+    if tp_size > 1:
+        for pat, dim in _TP_RULES:
+            if re.search(pat, path) and len(shape) > dim \
+                    and shape[dim] % tp_size == 0:
+                spec[dim] = 'tp'
+                break
+
+    if fsdp_size > 1 and int(np.prod(shape)) >= fsdp_min_size:
+        # shard the largest free dim divisible by fsdp
+        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for i in order:
+            if spec[i] is None and shape[i] % fsdp_size == 0:
+                spec[i] = 'fsdp'
+                break
+    return P(*spec)
+
+
+def shard_params(params, mesh: Mesh, fsdp_min_size: int = 2 ** 16):
+    """Apply NamedShardings to a param pytree (device_put per leaf)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        name = '/'.join(str(getattr(p, 'key', p)) for p in path)
+        spec = param_pspec(name, leaf.shape, mesh, fsdp_min_size)
+        out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def param_shardings(params, mesh: Mesh, fsdp_min_size: int = 2 ** 16):
+    """NamedSharding pytree matching ``params`` (for jit in_shardings)."""
+    def one(path, leaf):
+        name = '/'.join(str(getattr(p, 'key', p)) for p in path)
+        return NamedSharding(
+            mesh, param_pspec(name, leaf.shape, mesh, fsdp_min_size))
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the combined (dp, fsdp) axes."""
+    return NamedSharding(mesh, P(('dp', 'fsdp')))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
