@@ -156,7 +156,7 @@ class GromaConfig(_ConfigBase):
     """
     llm: LlamaConfig = field(default_factory=LlamaConfig)
     perceiver: PerceiverConfig = field(default_factory=PerceiverConfig)
-    num_new_token: int = 117       # 17 special + 100 region-index tokens
+    num_new_token: int = 114       # 14 added special + 100 region-index
     nms_thres: float = 0.6
     box_score_thres: float = 0.15
     max_region_num: int = 100
@@ -207,7 +207,7 @@ def tiny_groma_config(**overrides) -> GromaConfig:
     llm = LlamaConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
                       num_layers=2, num_heads=4, num_kv_heads=4,
                       max_position_embeddings=512, dtype='float32')
-    cfg = GromaConfig(llm=llm, perceiver=perceiver, num_new_token=117,
+    cfg = GromaConfig(llm=llm, perceiver=perceiver, num_new_token=114,
                       max_region_num=8, num_image_tokens=4, max_seq_len=128,
                       region_roi_out=4, region_num_fuse=2,
                       region_gn_groups=8)

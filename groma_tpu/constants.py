@@ -35,7 +35,10 @@ DEFAULT_TOKENS = {
 NUM_REGION_TOKENS = 100
 REGION_IDX_TOKENS = ['<r{}>'.format(i) for i in range(NUM_REGION_TOKENS)]
 
-# All tokens appended to the base LLM vocabulary, in order.  The extended
-# vocabulary is ``base_vocab + NEW_TOKENS`` and the new ids live in a separate
-# embedding table / lm-head (see models/llama.py split-vocab design).
-NEW_TOKENS = list(DEFAULT_TOKENS.values()) + REGION_IDX_TOKENS
+# Tokens appended to the base LLM vocabulary via add_tokens, in order.
+# bos/eos/unk already exist in the LLaMA vocab so add_tokens skips them
+# (reference: groma/train/train.py:90 => num_new_token == 114 for Vicuna).
+EXISTING_IN_BASE = ('bos', 'eos', 'unk')
+NEW_TOKENS = [v for k, v in DEFAULT_TOKENS.items()
+              if k not in EXISTING_IN_BASE] + REGION_IDX_TOKENS
+ALL_PROTOCOL_TOKENS = list(DEFAULT_TOKENS.values()) + REGION_IDX_TOKENS

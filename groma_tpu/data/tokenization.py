@@ -21,8 +21,8 @@ into a fixed ``max_seq_len`` layout with
   (verified in tests/test_llama.py).
 
 Token id assignment matches the reference's ``tokenizer.add_tokens`` order
-(reference: groma/train/train.py:83-91): base vocab, then the 17 named
-special tokens, then ``<r0>..<r99>``.
+(reference: groma/train/train.py:83-91): base vocab, then the 14 newly
+added named special tokens, then ``<r0>..<r99>`` (114 total).
 """
 
 from __future__ import annotations
@@ -31,13 +31,18 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from groma_tpu.constants import (DEFAULT_TOKENS, IGNORE_INDEX, NEW_TOKENS,
+from groma_tpu.constants import (DEFAULT_TOKENS, EXISTING_IN_BASE,
+                                 IGNORE_INDEX, NEW_TOKENS,
                                  NUM_REGION_TOKENS, REGION_IDX_TOKENS)
 
 
 @dataclass(frozen=True)
 class SpecialIds:
-    """Ids of the protocol tokens in the extended vocabulary."""
+    """Ids of the protocol tokens in the extended vocabulary.
+
+    bos/eos/unk live in the base vocab (LLaMA ids 1/2/0) and are NOT
+    re-added (reference: groma/train/train.py:90 add_tokens skips existing
+    tokens, so num_new_token == 114 for Vicuna)."""
     base_vocab: int
     pad: int
     sep: int
@@ -47,10 +52,13 @@ class SpecialIds:
     gbox: int
     rfeat: int
     box_idx_start: int   # <r0>; <rK> = box_idx_start + K
+    bos: int = 1
+    eos: int = 2
+    unk: int = 0
 
     @classmethod
     def from_base_vocab(cls, base_vocab: int) -> 'SpecialIds':
-        names = list(DEFAULT_TOKENS.keys())
+        names = [n for n in DEFAULT_TOKENS if n not in EXISTING_IN_BASE]
         off = {n: base_vocab + i for i, n in enumerate(names)}
         return cls(
             base_vocab=base_vocab,
@@ -63,6 +71,10 @@ class SpecialIds:
             rfeat=off['rfeat'],
             box_idx_start=base_vocab + len(names),
         )
+
+    @property
+    def num_new_token(self) -> int:
+        return len(NEW_TOKENS)
 
     def box_idx_ids(self) -> np.ndarray:
         return np.arange(self.box_idx_start,
