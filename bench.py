@@ -2,14 +2,17 @@
 
 Measures BASELINE.json configs 1-3 end-to-end on real hardware: DINOv2-L
 encoder @448² -> DDETR two-stage proposer (300 boxes) -> NMS top-100 select
--> multi-level RoIAlign region tokenization, i.e. everything in the image ->
-region-tokens half of Groma inference (reference call stack SURVEY §3.3
-steps 1-7), at full model scale with bf16 compute.
+-> multi-level RoIAlign region tokenization, i.e. the image -> region-token
+half of Groma inference (reference call stack SURVEY §3.3 steps 1-7) at
+full model scale, bf16 compute.
 
-Prints ONE JSON line: images/sec.  vs_baseline is vs the driver target of
-3x an A100 running the PyTorch reference; the reference publishes no
-throughput numbers (SURVEY §6), so until an A100 measurement lands in
-BASELINE.md the field reports value/target_placeholder=1.0-relative.
+The whole measurement loop runs inside one jit (utils/profiling.py) so the
+number is pure device throughput, immune to host transfer and to the
+remote-execution tunnel's result caching.
+
+Prints ONE JSON line: images/sec.  The reference publishes no throughput
+numbers (SURVEY §6); the driver target is 3x an unmeasured A100 baseline,
+so vs_baseline reports the raw value until an A100 number lands.
 """
 
 import json
@@ -27,6 +30,7 @@ def main():
     from groma_tpu.config import (DDETRConfig, GromaConfig, LlamaConfig,
                                   PerceiverConfig, ViTConfig)
     from groma_tpu.models.groma import GromaModel
+    from groma_tpu.utils.profiling import time_fn_ingraph
 
     if on_tpu:
         vit = ViTConfig(dtype='bfloat16')                 # dinov2-large
@@ -34,13 +38,13 @@ def main():
         perceiver = PerceiverConfig(vit=vit, ddetr=ddetr, image_size=448)
         llm = LlamaConfig(num_layers=2)  # vision bench: LLM not exercised
         cfg = GromaConfig(llm=llm, perceiver=perceiver)
-        batch = 4
-        iters, warmup = 20, 3
+        batch = 8
+        iters = 5
     else:  # CPU smoke fallback so the script always emits a line
         from __graft_entry__ import _small_cfg
         cfg = _small_cfg()
         batch = 2
-        iters, warmup = 3, 1
+        iters = 2
 
     model = GromaModel(cfg)
     img = cfg.perceiver.image_size
@@ -48,31 +52,19 @@ def main():
     images = jnp.asarray(rng.standard_normal((batch, img, img, 3)),
                          jnp.float32)
 
-    init_images = images[:1]
     params = jax.jit(
         lambda im: model.init(jax.random.PRNGKey(0), im,
-                              method=GromaModel.vision))(init_images)['params']
+                              method=GromaModel.vision))(
+        images[:1])['params']
 
-    @jax.jit
     def vision_fn(params, images):
         out = model.apply({'params': params}, images,
                           method=GromaModel.vision)
-        return (out['region_tokens'], out['selected_boxes'],
-                out['selected_mask'], out['image_tokens'])
+        return out['region_tokens']
 
-    # compile + warmup
-    out = vision_fn(params, images)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        jax.block_until_ready(vision_fn(params, images))
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = vision_fn(params, images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    ips = batch * iters / dt
+    sec_per_iter = time_fn_ingraph(vision_fn, (params, images),
+                                   iters=iters, perturb_arg=1)
+    ips = batch / sec_per_iter
     print(json.dumps({
         'metric': 'vision_proposer_images_per_sec',
         'value': round(ips, 3),
@@ -80,7 +72,7 @@ def main():
         'vs_baseline': round(ips, 3),
     }))
     print(f'# platform={jax.devices()[0].platform} batch={batch} '
-          f'iters={iters} total_s={dt:.2f}', file=sys.stderr)
+          f'iters={iters} sec/iter={sec_per_iter:.4f}', file=sys.stderr)
 
 
 if __name__ == '__main__':

@@ -1,0 +1,116 @@
+"""Region-caption scoring: CIDEr-D + BLEU in pure python.
+
+(reference: groma/eval/eval_cap.py merges per-rank shards and scores with
+pycocoevalcap — a Java/C dependency unavailable here; CIDEr-D and BLEU are
+re-implemented from their definitions.  METEOR/SPICE need external
+resources and are out of scope; the reference's headline region-caption
+metric is CIDEr.)
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+from typing import Dict, List, Sequence
+
+
+def _tokenize(s: str) -> List[str]:
+    s = s.lower()
+    s = re.sub(r"[^a-z0-9 ]", ' ', s)
+    return s.split()
+
+
+def _ngrams(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+def cider_d(candidates: Dict[str, str],
+            references: Dict[str, List[str]],
+            n_max: int = 4, sigma: float = 6.0) -> float:
+    """CIDEr-D score over {id: caption} vs {id: [refs]}."""
+    ids = list(candidates.keys())
+    # document frequencies from reference sets
+    df = [defaultdict(float) for _ in range(n_max)]
+    for i in ids:
+        for n in range(n_max):
+            seen = set()
+            for ref in references[i]:
+                seen |= set(_ngrams(_tokenize(ref), n + 1).keys())
+            for g in seen:
+                df[n][g] += 1.0
+    log_num_imgs = math.log(max(len(ids), 1))
+
+    def tfidf(tokens, n):
+        cnt = _ngrams(tokens, n + 1)
+        total = max(sum(cnt.values()), 1)
+        vec = {}
+        for g, c in cnt.items():
+            idf = log_num_imgs - math.log(max(df[n][g], 1.0))
+            vec[g] = (c / total) * idf
+        norm = math.sqrt(sum(v * v for v in vec.values()))
+        return vec, norm, len(tokens)
+
+    scores = []
+    for i in ids:
+        cand_toks = _tokenize(candidates[i])
+        score_n = [0.0] * n_max
+        for n in range(n_max):
+            cvec, cnorm, clen = tfidf(cand_toks, n)
+            for ref in references[i]:
+                rtoks = _tokenize(ref)
+                rvec, rnorm, rlen = tfidf(rtoks, n)
+                # clipped dot product
+                dot = sum(min(cvec.get(g, 0.0), rvec.get(g, 0.0)) * rv
+                          for g, rv in rvec.items())
+                if cnorm > 0 and rnorm > 0:
+                    sim = dot / (cnorm * rnorm)
+                    delta = clen - rlen
+                    sim *= math.exp(-delta * delta / (2 * sigma * sigma))
+                    score_n[n] += sim
+            score_n[n] /= max(len(references[i]), 1)
+        scores.append(10.0 * sum(score_n) / n_max)
+    return sum(scores) / max(len(scores), 1)
+
+
+def bleu(candidates: Dict[str, str], references: Dict[str, List[str]],
+         n_max: int = 4) -> List[float]:
+    """Corpus BLEU-1..n with brevity penalty."""
+    clipped = [0] * n_max
+    totals = [0] * n_max
+    c_len, r_len = 0, 0
+    for i, cand in candidates.items():
+        ctoks = _tokenize(cand)
+        rtoks_all = [_tokenize(r) for r in references[i]]
+        c_len += len(ctoks)
+        r_len += min((abs(len(r) - len(ctoks)), len(r))
+                     for r in rtoks_all)[1]
+        for n in range(n_max):
+            ccnt = _ngrams(ctoks, n + 1)
+            max_ref = Counter()
+            for rt in rtoks_all:
+                rc = _ngrams(rt, n + 1)
+                for g, c in rc.items():
+                    max_ref[g] = max(max_ref[g], c)
+            clipped[n] += sum(min(c, max_ref.get(g, 0))
+                              for g, c in ccnt.items())
+            totals[n] += max(sum(ccnt.values()), 0)
+    bp = 1.0 if c_len > r_len else math.exp(1 - r_len / max(c_len, 1))
+    out = []
+    log_sum = 0.0
+    for n in range(n_max):
+        p = clipped[n] / max(totals[n], 1)
+        log_sum += math.log(max(p, 1e-12))
+        out.append(bp * math.exp(log_sum / (n + 1)))
+    return out
+
+
+def score_captions(candidates: Dict[str, str],
+                   references: Dict[str, List[str]]) -> dict:
+    """The eval_cap.py-equivalent summary."""
+    b = bleu(candidates, references)
+    return {
+        'CIDEr': cider_d(candidates, references),
+        'BLEU-1': b[0], 'BLEU-4': b[3],
+        'num': len(candidates),
+    }
