@@ -1,0 +1,157 @@
+"""Composite Groma checkpoint loading: HF format -> flax, plus orbax.
+
+Satisfies the "same HF checkpoint loading" parity surface for the released
+groma-7b checkpoints (reference: groma/model/groma.py:86-134 composition of
+perceiver/llm/bridge/region-encoder/extra heads; nested config at :31-83).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from groma_tpu.config import (DDETRConfig, GromaConfig, LlamaConfig,
+                              PerceiverConfig, ViTConfig, config_from_json)
+from groma_tpu.checkpoint.hf_import import (import_dinov2, import_llama,
+                                            import_perceiver,
+                                            import_region_encoder,
+                                            load_state_dict, _dense)
+
+
+def hf_groma_config(d: dict) -> GromaConfig:
+    """Translate a reference groma config.json dict into GromaConfig."""
+    llm_d = d.get('llm_cfg', {})
+    perc_d = d.get('perceiver_cfg', {})
+    vit_d = perc_d.get('vis_encoder_cfg', {})
+    ddetr_d = perc_d.get('ddetr_cfg', {})
+    vit = ViTConfig(
+        hidden_size=vit_d.get('hidden_size', 1024),
+        num_layers=vit_d.get('num_hidden_layers', 24),
+        num_heads=vit_d.get('num_attention_heads', 16),
+        mlp_ratio=vit_d.get('mlp_ratio', 4),
+        patch_size=vit_d.get('patch_size', 14),
+        image_size=vit_d.get('image_size', 518),
+        layerscale_value=vit_d.get('layerscale_value', 1.0),
+        use_swiglu_ffn=vit_d.get('use_swiglu_ffn', False),
+    )
+    ddetr = DDETRConfig(
+        d_model=ddetr_d.get('d_model', 256),
+        num_queries=ddetr_d.get('num_queries', 300),
+        encoder_layers=ddetr_d.get('encoder_layers', 6),
+        decoder_layers=ddetr_d.get('decoder_layers', 6),
+        num_heads=ddetr_d.get('encoder_attention_heads', 8),
+        ffn_dim=ddetr_d.get('encoder_ffn_dim', 1024),
+        num_feature_levels=ddetr_d.get('num_feature_levels', 1),
+        enc_n_points=ddetr_d.get('encoder_n_points', 4),
+        dec_n_points=ddetr_d.get('decoder_n_points', 4),
+        num_labels=ddetr_d.get('num_labels',
+                               len(ddetr_d.get('id2label', {0: 0})) or 1),
+        two_stage=ddetr_d.get('two_stage', True),
+        with_box_refine=ddetr_d.get('with_box_refine', True),
+        focal_alpha=ddetr_d.get('focal_alpha', 0.25),
+    )
+    perceiver = PerceiverConfig(
+        vit=vit, ddetr=ddetr,
+        vis_output_layer=perc_d.get('vis_output_layer', -1),
+        image_size=448)
+    llm = LlamaConfig(
+        vocab_size=llm_d.get('vocab_size', 32000),
+        hidden_size=llm_d.get('hidden_size', 4096),
+        intermediate_size=llm_d.get('intermediate_size', 11008),
+        num_layers=llm_d.get('num_hidden_layers', 32),
+        num_heads=llm_d.get('num_attention_heads', 32),
+        num_kv_heads=llm_d.get('num_key_value_heads',
+                               llm_d.get('num_attention_heads', 32)),
+        max_position_embeddings=llm_d.get('max_position_embeddings', 4096),
+        rope_theta=llm_d.get('rope_theta', 10000.0),
+        rms_norm_eps=llm_d.get('rms_norm_eps', 1e-5),
+    )
+    return GromaConfig(
+        llm=llm, perceiver=perceiver,
+        num_new_token=d.get('num_new_token', 114),
+        nms_thres=d.get('nms_thres', 0.6),
+        box_score_thres=d.get('box_score_thres', 0.15),
+        max_region_num=d.get('max_region_num', 100),
+    )
+
+
+def import_groma(sd: dict, cfg: GromaConfig) -> dict:
+    """Full reference Groma state dict -> flax GromaModel params
+    (reference module tree: groma/model/groma.py:96-124)."""
+    deploy_grid = cfg.perceiver.image_size // cfg.perceiver.vit.patch_size
+    params = {
+        'perceiver': import_perceiver(
+            sd, cfg.perceiver.vit.num_layers, cfg.perceiver.ddetr.encoder_layers,
+            cfg.perceiver.ddetr.decoder_layers,
+            cfg.perceiver.ddetr.num_feature_levels,
+            patch_size=cfg.perceiver.vit.patch_size,
+            deploy_grid=deploy_grid, prefix='perceiver.'),
+        'region_encoder': import_region_encoder(
+            sd, num_levels=3, num_fuse=cfg.region_num_fuse,
+            embed_dims=cfg.perceiver.vit.hidden_size,
+            roi_out=cfg.region_roi_out, prefix='region_encoder.'),
+        'bridge_fc1': _dense(sd, 'img_txt_bridge.0'),
+        'bridge_fc2': _dense(sd, 'img_txt_bridge.2'),
+        'new_input_embs': sd['new_input_embs.weight'],
+        'extra_lm_head': {'kernel': sd['extra_lm_head.weight'].T},
+    }
+    llama = import_llama(sd, cfg.llm.num_layers, prefix='llm.')
+    params['llm'] = llama['model']
+    params['embed_tokens'] = llama['embed_tokens']
+    params['lm_head'] = llama['lm_head']
+    return params
+
+
+def load_groma(path: str, dtype: Optional[str] = None):
+    """Load a Groma checkpoint directory.
+
+    HF format (config.json with llm_cfg/perceiver_cfg + safetensors/bin)
+    or this framework's own format (config.json from config.py + orbax).
+    Returns (model, params, cfg).
+    """
+    from groma_tpu.models.groma import GromaModel
+
+    with open(os.path.join(path, 'config.json')) as f:
+        cfg_d = json.load(f)
+    if 'config_type' in cfg_d:
+        cfg = config_from_json(json.dumps(cfg_d))
+        from groma_tpu.checkpoint.orbax_io import CheckpointManager
+        import jax
+        model = GromaModel(cfg)
+        mngr = CheckpointManager(path)
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               **_dummy_batch(cfg)))['params']
+        restored, _ = mngr.restore({'params': template})
+        params = restored['params']
+    else:
+        cfg = hf_groma_config(cfg_d)
+        sd = load_state_dict(path)
+        params = import_groma(sd, cfg)
+        model = GromaModel(cfg)
+    if dtype is not None:
+        import jax.numpy as jnp
+        target = jnp.dtype(dtype)
+        import jax
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(target)
+            if hasattr(x, 'dtype') and x.dtype in (np.float32, np.float64)
+            else x, params)
+    return model, params, cfg
+
+
+def _dummy_batch(cfg: GromaConfig) -> dict:
+    import jax.numpy as jnp
+    from groma_tpu.data.tokenization import SpecialIds, expand_template
+    sp = SpecialIds.from_base_vocab(cfg.llm.vocab_size)
+    raw = np.array([1, sp.image, 4, sp.region, 5])
+    t = expand_template(raw, None, sp, cfg.num_image_tokens,
+                        cfg.max_region_num, cfg.max_seq_len)
+    img = cfg.perceiver.image_size
+    return dict(images=jnp.zeros((1, img, img, 3), jnp.float32),
+                input_ids=jnp.asarray(t['input_ids'][None]),
+                region_slot=jnp.asarray(t['region_slot'][None]),
+                base_valid=jnp.asarray(t['valid'][None]))

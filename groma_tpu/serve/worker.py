@@ -1,0 +1,179 @@
+"""Model worker: streaming generation over HTTP + controller heartbeat.
+
+(reference: groma/serve/model_worker.py:1-425 — whose model glue was stale
+LLaVA code; here the worker drives the real Groma Generator).  Endpoints:
+/worker_generate_stream (chunked JSON lines), /worker_get_status.  A
+background thread heartbeats the controller every
+WORKER_HEART_BEAT_INTERVAL seconds; a semaphore caps concurrency.
+Served by stdlib ThreadingHTTPServer (FastAPI/uvicorn unavailable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from groma_tpu.constants import WORKER_HEART_BEAT_INTERVAL
+
+
+class ModelWorker:
+    def __init__(self, model_dir: str, tokenizer_path=None,
+                 worker_name: str = 'groma-worker',
+                 model_name: str = 'groma', limit: int = 2,
+                 controller_addr: str = ''):
+        from groma_tpu.checkpoint.loader import load_groma
+        from groma_tpu.data.tokenizer import HFTokenizer
+        from groma_tpu.data.datasets.base import VLDataSpec
+        from groma_tpu.eval.generate import Generator
+
+        self.model, self.params, self.cfg = load_groma(model_dir)
+        self.tokenizer = HFTokenizer(tokenizer_path or model_dir,
+                                     self.cfg.max_seq_len)
+        self.spec = VLDataSpec(
+            num_image_tokens=self.cfg.num_image_tokens,
+            max_region_num=self.cfg.max_region_num,
+            max_seq_len=self.cfg.max_seq_len,
+            image_size=self.cfg.perceiver.image_size)
+        self.generator = Generator(self.model, self.params,
+                                   max_len=self.cfg.max_seq_len + 64)
+        self.worker_name = worker_name
+        self.model_name = model_name
+        self.semaphore = threading.Semaphore(limit)
+        self.queue_length = 0
+        self.controller_addr = controller_addr
+        if controller_addr:
+            self._register()
+            t = threading.Thread(target=self._heartbeat_loop, daemon=True)
+            t.start()
+
+    # ------------------------------------------------------- liveness
+
+    def status(self) -> dict:
+        return {'model_names': [self.model_name], 'speed': 1,
+                'queue_length': self.queue_length}
+
+    def _post(self, path: str, payload: dict):
+        req = urllib.request.Request(
+            self.controller_addr + path,
+            data=json.dumps(payload).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=5) as r:
+            return json.loads(r.read() or b'{}')
+
+    def _register(self):
+        self._post('/register_worker', {
+            'worker_name': self.worker_name, 'check_heart_beat': True,
+            'worker_status': self.status()})
+
+    def _heartbeat_loop(self):
+        import time
+        while True:
+            time.sleep(WORKER_HEART_BEAT_INTERVAL)
+            try:
+                ok = self._post('/receive_heart_beat', {
+                    'worker_name': self.worker_name,
+                    'queue_length': self.queue_length})
+                if not ok.get('exist'):
+                    self._register()
+            except Exception:
+                pass
+
+    # ------------------------------------------------------ generation
+
+    def generate_stream(self, request: dict):
+        """Yield JSON lines {'text': partial, 'error_code': 0}."""
+        import jax.numpy as jnp
+        from groma_tpu.data.conversation import conv_templates
+        from groma_tpu.data.datasets.base import intro_conversation
+        from groma_tpu.data.tokenization import expand_template
+        from groma_tpu.eval.generate import parse_region_tokens
+
+        with self.semaphore:
+            self.queue_length += 1
+            try:
+                image = np.asarray(request['image'], np.float32)
+                conv = conv_templates.get(request.get('conv_temp', 'llava'))
+                messages = intro_conversation(conv)
+                messages.append((conv.roles[0], request['prompt']))
+                messages.append((conv.roles[1], None))
+                ids = self.tokenizer.encode(conv.get_prompt(messages))
+                t = expand_template(ids, None, self.tokenizer.sp,
+                                    self.spec.num_image_tokens,
+                                    self.spec.max_region_num,
+                                    self.spec.max_seq_len)
+                tokens, vis = self.generator.generate(
+                    jnp.asarray(image[None]),
+                    jnp.asarray(t['input_ids'][None]),
+                    jnp.asarray(t['region_slot'][None]),
+                    jnp.asarray(t['valid'][None]),
+                    max_new_tokens=int(request.get('max_new_tokens', 256)),
+                    eos_id=self.tokenizer.sp.eos,
+                    temperature=float(request.get('temperature', 0.0)))
+                text = self.tokenizer.decode(
+                    [tok for tok in tokens[0]
+                     if tok != self.tokenizer.sp.eos])
+                ks = parse_region_tokens(
+                    tokens, self.tokenizer.sp.box_idx_start)[0]
+                boxes = [vis['selected_boxes'][0, k].tolist() for k in ks
+                         if vis['selected_mask'][0, k]]
+                yield {'text': text, 'boxes': boxes, 'error_code': 0}
+            except Exception as e:  # pragma: no cover
+                yield {'text': f'server error: {e}', 'error_code': 1}
+            finally:
+                self.queue_length -= 1
+
+
+def make_handler(worker: ModelWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get('Content-Length', 0))
+            data = json.loads(self.rfile.read(n) or b'{}')
+            if self.path == '/worker_get_status':
+                body = json.dumps(worker.status()).encode()
+                self.send_response(200)
+                self.send_header('Content-Type', 'application/json')
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == '/worker_generate_stream':
+                self.send_response(200)
+                self.send_header('Content-Type', 'application/jsonl')
+                self.send_header('Transfer-Encoding', 'chunked')
+                self.end_headers()
+                for chunk in worker.generate_stream(data):
+                    payload = (json.dumps(chunk) + '\0').encode()
+                    self.wfile.write(f'{len(payload):X}\r\n'.encode())
+                    self.wfile.write(payload + b'\r\n')
+                self.wfile.write(b'0\r\n\r\n')
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--model-dir', required=True)
+    ap.add_argument('--host', default='0.0.0.0')
+    ap.add_argument('--port', type=int, default=21002)
+    ap.add_argument('--controller-address', default='')
+    ap.add_argument('--worker-name', default='http://localhost:21002')
+    ap.add_argument('--limit-model-concurrency', type=int, default=2)
+    a = ap.parse_args()
+    worker = ModelWorker(a.model_dir, worker_name=a.worker_name,
+                         limit=a.limit_model_concurrency,
+                         controller_addr=a.controller_address)
+    httpd = ThreadingHTTPServer((a.host, a.port), make_handler(worker))
+    httpd.serve_forever()
+
+
+if __name__ == '__main__':
+    main()

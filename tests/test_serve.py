@@ -1,0 +1,83 @@
+"""Controller/worker serving-topology tests (the HTTP smoke-test analogue
+of reference: groma/serve/test_message.py + controller endpoints)."""
+
+import json
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from groma_tpu.serve.controller import (Controller, DispatchMethod,
+                                        make_handler)
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={'Content-Type': 'application/json'})
+    with urllib.request.urlopen(req, timeout=5) as r:
+        return json.loads(r.read() or b'{}')
+
+
+@pytest.fixture
+def server():
+    controller = Controller('shortest_queue')
+    httpd = ThreadingHTTPServer(('127.0.0.1', 0), make_handler(controller))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f'http://127.0.0.1:{httpd.server_address[1]}', controller
+    httpd.shutdown()
+
+
+def test_register_dispatch_heartbeat(server):
+    url, controller = server
+    _post(url + '/register_worker', {
+        'worker_name': 'w1', 'check_heart_beat': True,
+        'worker_status': {'model_names': ['groma'], 'speed': 1,
+                          'queue_length': 0}})
+    _post(url + '/register_worker', {
+        'worker_name': 'w2', 'check_heart_beat': True,
+        'worker_status': {'model_names': ['groma'], 'speed': 1,
+                          'queue_length': 5}})
+    models = _post(url + '/list_models', {})['models']
+    assert models == ['groma']
+    # shortest queue picks the idle worker
+    addr = _post(url + '/get_worker_address', {'model': 'groma'})['address']
+    assert addr == 'w1'
+    # heartbeat updates queue length
+    r = _post(url + '/receive_heart_beat',
+              {'worker_name': 'w1', 'queue_length': 99})
+    assert r['exist']
+    addr = _post(url + '/get_worker_address', {'model': 'groma'})['address']
+    assert addr == 'w2'
+    # unknown worker heartbeat -> not exist (worker re-registers)
+    r = _post(url + '/receive_heart_beat',
+              {'worker_name': 'ghost', 'queue_length': 0})
+    assert not r['exist']
+    # unknown model -> empty address
+    assert _post(url + '/get_worker_address',
+                 {'model': 'nope'})['address'] == ''
+
+
+def test_stale_worker_pruned(server):
+    url, controller = server
+    controller.register_worker('old', True, {
+        'model_names': ['groma'], 'speed': 1, 'queue_length': 0})
+    # age the heartbeat beyond expiry
+    controller.workers['old'].last_heart_beat -= 1000
+    assert _post(url + '/get_worker_address',
+                 {'model': 'groma'})['address'] == ''
+    assert 'old' not in controller.workers
+
+
+def test_lottery_dispatch():
+    c = Controller('lottery')
+    c.register_worker('a', False, {'model_names': ['m'], 'speed': 1,
+                                   'queue_length': 0})
+    c.register_worker('b', False, {'model_names': ['m'], 'speed': 9,
+                                   'queue_length': 0})
+    picks = [c.get_worker_address('m') for _ in range(200)]
+    # speed-weighted: 'b' should dominate
+    assert picks.count('b') > 120
