@@ -55,8 +55,9 @@ def evaluate_lvis(generator: Generator, samples: Iterable[dict],
             jnp.asarray(t['valid'][None]),
             max_new_tokens=max_new_tokens, eos_id=sp.eos)
         ks = parse_region_tokens(tokens, sp.box_idx_start)[0]
+        cap = vis['selected_mask'].shape[1]
         for rank, k in enumerate(ks):
-            if not vis['selected_mask'][0, k]:
+            if k >= cap or not vis['selected_mask'][0, k]:
                 continue
             box = _cxcywh_to_xyxy(vis['selected_boxes'][0, k])
             # earlier mentions score higher (reference keeps emit order)

@@ -125,7 +125,8 @@ def evaluate_rec(generator: Generator, samples: Iterable[dict],
             max_new_tokens=max_new_tokens, eos_id=sp.eos)
         ks = parse_region_tokens(tokens, sp.box_idx_start)[0]
         pred = None
-        if ks and vis['selected_mask'][0, ks[0]]:
+        cap = vis['selected_mask'].shape[1]
+        if ks and ks[0] < cap and vis['selected_mask'][0, ks[0]]:
             pred = vis['selected_boxes'][0, ks[0]]
         metrics.update(pred, np.asarray(s['gt_box']))
     metrics.psum_across_hosts()
