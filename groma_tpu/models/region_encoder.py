@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from groma_tpu.config import PerceiverConfig
-from groma_tpu.ops.roi_align import roi_align
+from groma_tpu.ops.roi_align import roi_align_batched
 
 
 def _align_corners_matrix(out_size: int, in_size: int) -> jnp.ndarray:
@@ -183,21 +183,20 @@ class RegionEncoder(nn.Module):
         pos = nn.LayerNorm(name='pos_ln2')(h)             # (B, R, 1024)
 
         # rois: THE cxcywh-as-xyxy quirk — multiply by image size, no
-        # format conversion (reference: roi_align.py:289-294)
-        batch_idx = jnp.broadcast_to(
-            jnp.arange(b, dtype=jnp.float32)[:, None], (b, r))
-        rois = jnp.concatenate(
-            [batch_idx.reshape(-1, 1),
-             (boxes * self.image_size).reshape(-1, 4).astype(jnp.float32)],
-            axis=-1)                                       # (B*R, 5)
+        # format conversion (reference: roi_align.py:289-294).  Pooling
+        # uses the separable-matmul RoIAlign (ops/roi_align.py
+        # roi_align_batched): MXU matmuls instead of 4-corner gathers.
+        rois = (boxes * self.image_size).astype(jnp.float32)   # (B, R, 4)
 
         strides = [14 / 8, 14 / 4, 14 / 2]
         acc = None
         for lvl in range(nl):
-            pooled = roi_align(fused[lvl].astype(jnp.float32), rois,
-                               output_size=self.roi_out,
-                               spatial_scale=1.0 / strides[lvl],
-                               sampling_ratio=2, aligned=True)
+            pooled = roi_align_batched(
+                fused[lvl].astype(jnp.float32), rois,
+                output_size=self.roi_out,
+                spatial_scale=1.0 / strides[lvl],
+                sampling_ratio=2, aligned=True)
+            pooled = pooled.reshape(b * r, self.roi_out, self.roi_out, d)
             pooled = pooled.astype(fused[lvl].dtype)
             proj = nn.Conv(d, (3, 3), padding=((1, 1), (1, 1)),
                            name=f'pconv_{lvl}')(pooled)

@@ -67,3 +67,22 @@ def test_roi_align_overshoot_matches_partial(rng):
     # right/bottom half of the pooled grid samples beyond the map -> 0
     assert out[0, 0] == 1.0
     assert out[3, 3] == 0.0
+
+
+def test_roi_align_batched_matches_gather(rng):
+    from groma_tpu.ops.roi_align import roi_align_batched
+    b, h, w, c, r = 2, 16, 12, 8, 7
+    feats = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    # boxes include negative extents (the cxcywh-as-xyxy quirk) and
+    # out-of-bounds coordinates
+    boxes = jnp.asarray(rng.uniform(-4, 20, (b, r, 4)), jnp.float32)
+    got = roi_align_batched(feats, boxes, output_size=4,
+                            spatial_scale=0.5, sampling_ratio=2,
+                            roi_chunk=3)
+    # reference: flatten to (B*R, 5) rois through the gather version
+    bidx = np.repeat(np.arange(b), r).astype(np.float32)[:, None]
+    rois = jnp.asarray(np.concatenate(
+        [bidx, np.asarray(boxes).reshape(-1, 4)], axis=1))
+    want = roi_align(feats, rois, 4, 0.5, 2).reshape(b, r, 4, 4, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
