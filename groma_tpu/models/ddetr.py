@@ -58,6 +58,62 @@ def _offset_bias_init(num_heads, n_levels, n_points):
     return (grid * scale).reshape(-1)
 
 
+class ZeroShotClassifier(nn.Module):
+    """Optional CLIP-text-embedding classification head: normalized dot
+    product against frozen text embeddings x temperature
+    (reference: groma/model/ddetr_transformer.py:32-57; enabled by
+    ``zs_weight_path``; unused by the released Groma checkpoints)."""
+    zs_weight: jnp.ndarray          # (embed_dim, num_classes), frozen
+    norm_weight: bool = True
+    norm_temperature: float = 50.0
+    bias_value: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        wdim, ncls = self.zs_weight.shape
+        x = nn.Dense(wdim, name='linear')(x)
+        w = self.zs_weight
+        if self.norm_weight:
+            w = w / jnp.maximum(
+                jnp.linalg.norm(w, axis=0, keepdims=True), 1e-12)
+            x = self.norm_temperature * x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        bias = self.param('bias', nn.initializers.constant(self.bias_value),
+                          (ncls,))
+        return x @ w + bias
+
+
+def class_agnostic_nms_mask(boxes_cxcywh: jnp.ndarray,
+                            thres: float = 0.9) -> jnp.ndarray:
+    """(B, Q) survival mask under pairwise-IoU suppression in index order
+    (reference: ddetr_transformer.py:463-475 class_agnostic_nms — the
+    python O(n²) variant from the vestigial 12-box path)."""
+    from groma_tpu.ops.bbox import box_iou, cxcywh_to_xyxy
+
+    def one(boxes):
+        xy = cxcywh_to_xyxy(boxes)
+        iou = box_iou(xy, xy)
+        q = boxes.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (q,), 0)
+
+        def body(i, mask):
+            # j > i suppressed if kept i overlaps j
+            suppress = mask[i] & (iou[i] > thres) & (col > i)
+            return mask & jnp.logical_not(suppress)
+
+        return jax.lax.fori_loop(0, q, body, jnp.ones((q,), bool))
+
+    return jax.vmap(one)(boxes_cxcywh).astype(jnp.float32)
+
+
+def box_area_filter_mask(boxes_cxcywh: jnp.ndarray,
+                         thres: float = 0.005) -> jnp.ndarray:
+    """(B, Q) mask of boxes with area >= thres
+    (reference: ddetr_transformer.py:477-482)."""
+    area = boxes_cxcywh[..., 2] * boxes_cxcywh[..., 3]
+    return (area >= thres).astype(jnp.float32)
+
+
 class MSDAttention(nn.Module):
     """Deformable attention module (HF MSDA semantics) on the Pallas/XLA
     sampling core in ops/msda.py."""
