@@ -80,12 +80,14 @@ class ConvModuleGN(nn.Module):
     """mmcv ConvModule(conv 3x3 no-bias -> GroupNorm(64) -> ReLU)."""
     features: int
     groups: int = 64
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, name='conv')(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name='gn')(x)
+                    use_bias=False, dtype=self.dtype, name='conv')(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype, name='gn')(x)
         return nn.relu(x)
 
 
@@ -95,12 +97,14 @@ class MLVLFuse(nn.Module):
     num_levels: int = 3
     num_fuse: int = 5
     gn_groups: int = 64
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
         d = self.embed_dims
         shuffle = d // 4
         remain = d - 2 * shuffle
+        feats = [f.astype(self.dtype) for f in feats]
 
         # coord-conv channels + 1x1 input convs
         withcoord = []
@@ -114,10 +118,12 @@ class MLVLFuse(nn.Module):
                                      (b, h, w, 2)).astype(f.dtype)
             f = jnp.concatenate([f, coord], axis=-1)
             withcoord.append(
-                nn.Conv(d, (1, 1), name=f'input_conv_{lvl}')(f))
+                nn.Conv(d, (1, 1), dtype=self.dtype,
+                        name=f'input_conv_{lvl}')(f))
         feats = withcoord
 
-        fuse_convs = [ConvModuleGN(d, self.gn_groups, name=f'fuse_conv_{i}')
+        fuse_convs = [ConvModuleGN(d, self.gn_groups, dtype=self.dtype,
+                                   name=f'fuse_conv_{i}')
                       for i in range(self.num_fuse)]
         n = self.num_levels
         for conv in fuse_convs:
@@ -151,9 +157,13 @@ class RegionEncoder(nn.Module):
     roi_out: int = 14
     num_fuse: int = 5
     gn_groups: int = 64
+    dtype: str = 'float32'    # compute dtype for fuse/proj convs (bf16 at
+                              # full scale, matching the reference's model
+                              # dtype; RoIAlign stays an fp32 island)
 
     @nn.compact
     def __call__(self, mlvl_feats: Sequence[jnp.ndarray], boxes: jnp.ndarray):
+        cdtype = jnp.dtype(self.dtype)
         d = self.embed_dims
         nl = self.num_levels
         assert len(mlvl_feats) == nl
@@ -169,11 +179,12 @@ class RegionEncoder(nn.Module):
             feats2d.append(f)
         base = feats2d[0].shape[1]
         to_shape = [(base * 2 ** lvl,) * 2 for lvl in range(nl)][::-1]
-        feats2d = [resize_bilinear_align_corners(f, s)
+        feats2d = [resize_bilinear_align_corners(f, s).astype(cdtype)
                    for f, s in zip(feats2d, to_shape)]
 
         fused = MLVLFuse(d, nl, num_fuse=self.num_fuse,
-                         gn_groups=self.gn_groups, name='mlvl_fuse')(feats2d)
+                         gn_groups=self.gn_groups, dtype=cdtype,
+                         name='mlvl_fuse')(feats2d)
 
         # position embedding of the raw normalized boxes
         # (reference: roi_align.py:254-261,278)
@@ -197,15 +208,15 @@ class RegionEncoder(nn.Module):
                 spatial_scale=1.0 / strides[lvl],
                 sampling_ratio=2, aligned=True)
             pooled = pooled.reshape(b * r, self.roi_out, self.roi_out, d)
-            pooled = pooled.astype(fused[lvl].dtype)
+            pooled = pooled.astype(cdtype)
             proj = nn.Conv(d, (3, 3), padding=((1, 1), (1, 1)),
-                           name=f'pconv_{lvl}')(pooled)
+                           dtype=cdtype, name=f'pconv_{lvl}')(pooled)
             acc = proj if acc is None else acc + proj
         acc = nn.relu(acc)                                 # (B*R, 14, 14, d)
-        flat = acc.reshape(b * r, -1)
+        flat = acc.reshape(b * r, -1).astype(cdtype)
         # NOTE: the reference flattens NCHW (channel-major); our NHWC
         # flatten permutes features, so the flatten_linear kernel is
         # re-ordered correspondingly at import time (hf_import.py).
-        tokens = nn.Dense(1024, name='flatten_linear')(flat)
-        tokens = tokens.reshape(b, r, 1024) + pos
-        return nn.Dense(self.out_dims, name='updims')(tokens)
+        tokens = nn.Dense(1024, dtype=cdtype, name='flatten_linear')(flat)
+        tokens = tokens.reshape(b, r, 1024) + pos.astype(cdtype)
+        return nn.Dense(self.out_dims, dtype=cdtype, name='updims')(tokens)
