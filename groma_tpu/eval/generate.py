@@ -37,15 +37,42 @@ class Generator:
             return model.apply({'params': params}, tok, cache, pos,
                                method=GromaModel.decode_step)
 
+        def decode_scan(params, logits0, cache, pos0, n_steps, eos_id):
+            """Greedy-decode n_steps fully on device (lax.scan) — one
+            device round-trip for the whole generation instead of one per
+            token (critical under a high-latency device tunnel)."""
+            def step(carry, i):
+                logits, cache, done = carry
+                tok = jnp.argmax(logits, axis=-1)
+                tok = jnp.where(done, eos_id, tok)
+                done = done | (tok == eos_id)
+                nlogits, cache = model.apply(
+                    {'params': params}, tok[:, None], cache, pos0 + i,
+                    method=GromaModel.decode_step)
+                return (nlogits, cache, done), tok
+
+            b = logits0.shape[0]
+            done0 = jnp.zeros((b,), bool)
+            (_, _, _), toks = jax.lax.scan(
+                step, (logits0, cache, done0), jnp.arange(n_steps))
+            return jnp.swapaxes(toks, 0, 1)          # (B, n_steps)
+
         self._prefill = jax.jit(prefill)
         self._decode = jax.jit(decode)
+        self._decode_scan = jax.jit(decode_scan,
+                                    static_argnames=('n_steps', 'eos_id'))
 
     def generate(self, images, input_ids, region_slot, base_valid,
                  refer_boxes=None, refer_valid=None,
                  max_new_tokens: int = 32, eos_id: int = 2,
                  temperature: float = 0.0,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 use_scan: bool = True):
         """Greedy (temperature 0) or sampled decoding.
+
+        ``use_scan`` (greedy only) runs the whole decode loop in one
+        compiled program; the python loop remains for sampling and for
+        step-level early exit.
 
         Returns (tokens (B, <=max_new_tokens) numpy, vis dict).
         """
@@ -56,6 +83,23 @@ class Generator:
         logits, cache, vis, next_pos = self._prefill(
             self.params, images, input_ids, region_slot, base_valid,
             refer_boxes, refer_valid)
+
+        if use_scan and temperature == 0.0:
+            toks = self._decode_scan(self.params, logits, cache, next_pos,
+                                     max_new_tokens, eos_id)
+            toks = np.asarray(toks)
+            out = []
+            for row in toks:
+                stop = np.nonzero(row == eos_id)[0]
+                out.append(row[:stop[0] + 1] if len(stop) else row)
+            width = max(len(r) for r in out)
+            tokens = np.full((b, width), eos_id, toks.dtype)
+            for i, r in enumerate(out):
+                tokens[i, :len(r)] = r
+            return tokens, jax.tree_util.tree_map(np.asarray, {
+                'selected_boxes': vis['selected_boxes'],
+                'selected_mask': vis['selected_mask'],
+            })
 
         out_tokens = []
         done = np.zeros(b, bool)
