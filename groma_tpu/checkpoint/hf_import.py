@@ -217,8 +217,12 @@ def _conv(sd, name):
 
 
 def _convt(sd, name):
-    # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)
-    return {'kernel': sd[name + '.weight'].transpose(2, 3, 0, 1),
+    # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out);
+    # flax ConvTranspose (transpose_kernel=False) applies the kernel as a
+    # regular conv in the fractionally-strided formulation, so the spatial
+    # taps must be mirrored (verified in tests/test_perceiver.py)
+    w = sd[name + '.weight'][:, :, ::-1, ::-1]
+    return {'kernel': np.ascontiguousarray(w.transpose(2, 3, 0, 1)),
             'bias': sd[name + '.bias']}
 
 
