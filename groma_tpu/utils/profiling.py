@@ -47,8 +47,16 @@ def time_fn_ingraph(fn: Callable, args: tuple, iters: int = 10,
     def run(seed, *a):
         def body(i, carry):
             args_i = list(a)
-            x = args_i[perturb_arg]
-            args_i[perturb_arg] = x + ((i + seed).astype(x.dtype) * 1e-12)
+            # perturb the first floating leaf of the selected arg pytree
+            leaves, treedef = jax.tree_util.tree_flatten(
+                args_i[perturb_arg])
+            for k, leaf in enumerate(leaves):
+                if jnp.issubdtype(leaf.dtype, jnp.floating):
+                    leaves[k] = leaf + ((i + seed).astype(leaf.dtype)
+                                        * 1e-12)
+                    break
+            args_i[perturb_arg] = jax.tree_util.tree_unflatten(
+                treedef, leaves)
             out = fn(*args_i)
             # fold the output into a scalar so nothing is dead code
             acc = carry
