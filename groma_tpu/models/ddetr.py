@@ -40,7 +40,7 @@ from groma_tpu.models.layers import (MLP, multi_head_attention,
                                      proposal_position_embedding,
                                      sine_position_embedding_2d)
 from groma_tpu.ops.bbox import inverse_sigmoid
-from groma_tpu.ops.msda import (ms_deform_attn,
+from groma_tpu.ops.msda import (ms_deform_attn, ms_deform_attn_dense,
                                 sampling_locations_from_reference)
 
 PROPOSAL_INF = 1e4   # stand-in for the reference's masked_fill(inf)
@@ -144,7 +144,12 @@ class MSDAttention(nn.Module):
         attn = attn.reshape(b, q, nh, nl, self.n_points)
         loc = sampling_locations_from_reference(
             reference_points, offsets, spatial_shapes, self.n_points)
-        out = ms_deform_attn(v, spatial_shapes, loc, attn)
+        # tent-factorized dense-matmul sampling (gather-free, MXU) for the
+        # small grids Groma uses; gather fallback for very large pyramids
+        if max(h * w for h, w in spatial_shapes) <= 64 * 64:
+            out = ms_deform_attn_dense(v, spatial_shapes, loc, attn)
+        else:
+            out = ms_deform_attn(v, spatial_shapes, loc, attn)
         return nn.Dense(d, name='output_proj')(out)
 
 

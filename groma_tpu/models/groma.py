@@ -106,7 +106,8 @@ class GromaModel(nn.Module):
 
     def vision(self, images, refer_boxes=None, refer_valid=None,
                ground_boxes=None, ground_valid=None,
-               rng: Optional[jax.Array] = None, permute: bool = False):
+               rng: Optional[jax.Array] = None, permute: bool = False,
+               use_flash: bool = False):
         """Image -> image tokens + selected region pool + region tokens.
 
         All boxes are normalized cxcywh.  refer/ground boxes are fixed-
@@ -115,7 +116,8 @@ class GromaModel(nn.Module):
         c = self.cfg
         b = images.shape[0]
 
-        hidden_states = self.perceiver.encode_image(images)
+        hidden_states = self.perceiver.encode_image(images,
+                                                    use_flash=use_flash)
         hidden_states = tuple(jax.lax.stop_gradient(h)
                               for h in hidden_states)
 
@@ -267,7 +269,8 @@ class GromaModel(nn.Module):
                  rng=None, permute=False, use_flash=False):
         """Training / prefill-style full forward.  Returns (loss, aux)."""
         vis = self.vision(images, refer_boxes, refer_valid, ground_boxes,
-                          ground_valid, rng=rng, permute=permute)
+                          ground_valid, rng=rng, permute=permute,
+                          use_flash=use_flash)
         emb, input_ids, labels, valid = self.build_stream(
             input_ids, labels, region_slot, base_valid, vis,
             refer_boxes, refer_valid, ground_boxes, ground_valid)

@@ -65,13 +65,20 @@ def _align_corners_matrix(out_size: int, in_size: int) -> jnp.ndarray:
     return m
 
 
-def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
-    """NHWC bilinear resize, align_corners=True, as two matmuls."""
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw,
+                                  compute_dtype=jnp.float32) -> jnp.ndarray:
+    """NHWC bilinear resize, align_corners=True, as two matmuls.
+
+    ``compute_dtype`` selects the matmul precision: the fuse-internal
+    resizes are fp32 (reference: roi_align.py:164 casts to float32) while
+    the initial feature upsampling runs in the model dtype
+    (reference: roi_align.py:227 interpolates bf16 features directly).
+    """
     oh, ow = out_hw
     b, h, w, c = x.shape
-    ah = _align_corners_matrix(oh, h)
-    aw = _align_corners_matrix(ow, w)
-    x = jnp.einsum('oh,bhwc->bowc', ah, x.astype(jnp.float32))
+    ah = _align_corners_matrix(oh, h).astype(compute_dtype)
+    aw = _align_corners_matrix(ow, w).astype(compute_dtype)
+    x = jnp.einsum('oh,bhwc->bowc', ah, x.astype(compute_dtype))
     x = jnp.einsum('ow,bhwc->bhoc', aw, x)
     return x
 
@@ -179,7 +186,8 @@ class RegionEncoder(nn.Module):
             feats2d.append(f)
         base = feats2d[0].shape[1]
         to_shape = [(base * 2 ** lvl,) * 2 for lvl in range(nl)][::-1]
-        feats2d = [resize_bilinear_align_corners(f, s).astype(cdtype)
+        feats2d = [resize_bilinear_align_corners(
+                       f.astype(cdtype), s, compute_dtype=cdtype)
                    for f, s in zip(feats2d, to_shape)]
 
         fused = MLVLFuse(d, nl, num_fuse=self.num_fuse,

@@ -82,3 +82,42 @@ def test_sampling_locations_2d_and_4d(rng):
     want4 = (np.asarray(ref4)[:, :, None, :, None, :2]
              + np.asarray(off) / p * np.asarray(ref4)[:, :, None, :, None, 2:] * 0.5)
     np.testing.assert_allclose(np.asarray(loc4), want4, atol=1e-6)
+
+
+@pytest.mark.parametrize('shapes', [((8, 8),), ((16, 16), (8, 8), (4, 4))])
+def test_msda_dense_matches_gather(rng, shapes):
+    from groma_tpu.ops.msda import ms_deform_attn_dense
+    b, q, nh, d, p = 2, 12, 4, 8, 4
+    nl = len(shapes)
+    s = sum(h * w for h, w in shapes)
+    value = rng.standard_normal((b, s, nh, d)).astype(np.float32)
+    loc = rng.uniform(-0.1, 1.1, size=(b, q, nh, nl, p, 2)).astype(np.float32)
+    w = rng.uniform(0, 1, size=(b, q, nh, nl * p)).astype(np.float32)
+    w = (w / w.sum(-1, keepdims=True)).reshape(b, q, nh, nl, p)
+    want = np.asarray(ms_deform_attn(jnp.asarray(value), shapes,
+                                     jnp.asarray(loc), jnp.asarray(w)))
+    got = np.asarray(ms_deform_attn_dense(jnp.asarray(value), shapes,
+                                          jnp.asarray(loc), jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_msda_dense_gradients(rng):
+    from groma_tpu.ops.msda import ms_deform_attn_dense
+    shapes = ((6, 6),)
+    b, q, nh, d, p = 1, 5, 2, 4, 3
+    value = jnp.asarray(rng.standard_normal((b, 36, nh, d)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(0.2, 0.8, (b, q, nh, 1, p, 2)), jnp.float32)
+    w = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((b, q, nh, 1, p)), jnp.float32))
+
+    def f_dense(v, l, w_):
+        return jnp.sum(ms_deform_attn_dense(v, shapes, l, w_) ** 2)
+
+    def f_gather(v, l, w_):
+        return jnp.sum(ms_deform_attn(v, shapes, l, w_) ** 2)
+
+    gd = jax.grad(f_dense, argnums=(0, 1, 2))(value, loc, w)
+    gg = jax.grad(f_gather, argnums=(0, 1, 2))(value, loc, w)
+    for a, b_ in zip(gd, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
