@@ -59,9 +59,11 @@ def multi_head_attention(q, k, v, num_heads: int,
     if use_flash and attn_bias is None:
         out = flash_attention(qh, kh, vh, kv_mask=kv_mask, causal=causal)
     else:
+        # bf16 MXU inputs, fp32 accumulation (matches torch autocast
+        # numerics while running the matmuls at full bf16 rate)
         scale = hd ** -0.5
-        s = jnp.einsum('bhqd,bhkd->bhqk', qh.astype(jnp.float32),
-                       kh.astype(jnp.float32)) * scale
+        s = jnp.einsum('bhqd,bhkd->bhqk', qh, kh,
+                       preferred_element_type=jnp.float32) * scale
         if attn_bias is not None:
             s = s + attn_bias
         if kv_mask is not None:
@@ -71,7 +73,8 @@ def multi_head_attention(q, k, v, num_heads: int,
             kj = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
             s = jnp.where((kj <= qi + (skv - sq))[None, None], s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
-        out = jnp.einsum('bhqk,bhkd->bhqd', p, vh.astype(jnp.float32))
+        out = jnp.einsum('bhqk,bhkd->bhqd', p.astype(v.dtype), vh,
+                         preferred_element_type=jnp.float32)
     return out.transpose(0, 2, 1, 3).reshape(b, sq, d).astype(q.dtype)
 
 

@@ -119,8 +119,8 @@ class LlamaAttention(nn.Module):
             out = flash_attention(q, k, v, kv_mask=attn_mask, causal=True)
         else:
             scale = hd ** -0.5
-            sc = jnp.einsum('bhqd,bhkd->bhqk', q.astype(jnp.float32),
-                            k.astype(jnp.float32)) * scale
+            sc = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                            preferred_element_type=jnp.float32) * scale
             skv = k.shape[2]
             sc = jnp.where(attn_mask[:, None, None, :], sc, -1e30)
             qi = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 0)
@@ -134,8 +134,9 @@ class LlamaAttention(nn.Module):
                 causal_ok = kj <= qi + cache_index
                 sc = jnp.where(causal_ok[None, None], sc, -1e30)
             p = jax.nn.softmax(sc, axis=-1)
-            out = jnp.einsum('bhqk,bhkd->bhqd', p,
-                             v.astype(jnp.float32)).astype(self.dtype)
+            out = jnp.einsum('bhqk,bhkd->bhqd', p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32
+                             ).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, c.num_heads * hd)
         out = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
                        name='o_proj')(out)
