@@ -25,6 +25,12 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    try:  # persistent compile cache: big win under remote compile
+        jax.config.update('jax_compilation_cache_dir',
+                          '/root/repo/.jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+    except Exception:
+        pass
 
     on_tpu = jax.devices()[0].platform == 'tpu'
     from groma_tpu.config import (DDETRConfig, GromaConfig, LlamaConfig,
