@@ -58,8 +58,9 @@ class Generator:
             return jnp.swapaxes(toks, 0, 1)          # (B, n_steps)
 
         self._prefill = jax.jit(prefill)
-        self._decode = jax.jit(decode)
-        self._decode_scan = jax.jit(decode_scan,
+        # donate the cache so per-step updates alias in place
+        self._decode = jax.jit(decode, donate_argnums=(2,))
+        self._decode_scan = jax.jit(decode_scan, donate_argnums=(2,),
                                     static_argnames=('n_steps', 'eos_id'))
 
     def generate(self, images, input_ids, region_slot, base_valid,

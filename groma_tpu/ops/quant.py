@@ -1,0 +1,106 @@
+"""Weight-only int8 quantization for HBM-bound decode.
+
+TPU-native replacement for the reference's bitsandbytes 4/8-bit inference
+switch (reference: groma/eval/run_groma.py:43-61 — CUDA-only kernels).
+Decode on a single chip is weight-streaming-bound (~13.5 GB/step for 7B
+bf16), so storing matmul weights as int8 + per-output-channel scales and
+dequantizing inside the kernel's VMEM halves the HBM traffic — a ~2x
+decode speedup ceiling.
+
+``int8_matmul`` is a Pallas kernel: int8 weight tiles are DMA'd to VMEM,
+converted and scaled in-register, and fed to the MXU against the bf16
+activations.  A pure-XLA fallback covers CPU/debugging.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_weight(w: jnp.ndarray):
+    """(K, N) float -> (int8 (K, N), scale (N,) f32), symmetric per-column
+    (per-output-channel)."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_weight(q: jnp.ndarray, scale: jnp.ndarray,
+                      dtype=jnp.bfloat16):
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def _int8_matmul_kernel(x_ref, w_ref, scale_ref, o_ref, *, block_n):
+    x = x_ref[:]                                   # (M, K) bf16
+    w = w_ref[:].astype(jnp.bfloat16)              # (K, bn) dequant convert
+    acc = jax.lax.dot(x, w, preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * scale_ref[:]).astype(o_ref.dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == 'tpu'
+    except Exception:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=('block_n', 'interpret'))
+def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
+                block_n: int = 512, interpret: bool | None = None):
+    """x (M, K) bf16/f32 @ int8 weights (K, N) with per-column scales.
+
+    Returns (M, N) in x.dtype.  K must be a multiple of 32 (int8 sublane
+    tile); N is padded to block_n internally.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2
+    if k % 32 != 0 or m < 8:
+        # shape not kernel-friendly: XLA fallback
+        return (x.astype(jnp.float32)
+                @ (w_q.astype(jnp.float32) * scale)).astype(x.dtype)
+    n_pad = pl.cdiv(n, block_n) * block_n
+    w_p = jnp.pad(w_q, ((0, 0), (0, n_pad - n)))
+    s_p = jnp.pad(scale.astype(jnp.float32), (0, n_pad - n))[None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_int8_matmul_kernel, block_n=block_n),
+        grid=(n_pad // block_n,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda j: (0, 0)),
+            pl.BlockSpec((k, block_n), lambda j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((m, block_n), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), x.dtype),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16) if not interpret else x, w_p, s_p)
+    return out[:, :n]
+
+
+def quantize_dense_tree(params, path_pred):
+    """Quantize every Dense kernel whose path matches ``path_pred`` into a
+    parallel pytree {path: {'q': int8, 'scale': f32}} plus the stripped
+    params.  Used to build weight-only-quantized LLM decode params."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    qtree = {}
+    out = []
+    for path, leaf in flat:
+        name = '/'.join(str(getattr(p, 'key', p)) for p in path)
+        if name.endswith('kernel') and path_pred(name) and leaf.ndim == 2:
+            q, s = quantize_weight(leaf)
+            qtree[name] = {'q': q, 'scale': s}
+            out.append(leaf)   # keep original; caller decides replacement
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out), qtree
