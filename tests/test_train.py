@@ -109,3 +109,36 @@ def test_vl_train_step_and_checkpoint(rng, tmp_path):
     # config roundtrip
     cfg2 = CheckpointManager(str(tmp_path / 'ckpt')).load_config()
     assert cfg2 == CFG
+
+
+def test_vl_train_step_with_flash_attention(rng):
+    """The finetune stage's flash-attention training path (interpret mode
+    on CPU) — replaces the reference's flash-attn monkey patch."""
+    sp = SpecialIds.from_base_vocab(CFG.llm.vocab_size)
+    model = GromaModel(CFG)
+    raw = np.array([1, 5, sp.image, 7, sp.region, 9, 10, 2])
+    labels = np.array([IGNORE_INDEX] * 5 + [9, 10, 2])
+    t = expand_template(raw, labels, sp, CFG.num_image_tokens,
+                        CFG.max_region_num, CFG.max_seq_len)
+    batch = {
+        'images': jnp.asarray(rng.standard_normal((1, 56, 56, 3)),
+                              jnp.float32),
+        'input_ids': jnp.asarray(t['input_ids'][None]),
+        'region_slot': jnp.asarray(t['region_slot'][None]),
+        'valid': jnp.asarray(t['valid'][None]),
+        'labels': jnp.asarray(t['labels'][None]),
+    }
+    params = model.init(jax.random.PRNGKey(0), images=batch['images'],
+                        input_ids=batch['input_ids'],
+                        region_slot=batch['region_slot'],
+                        base_valid=batch['valid'])['params']
+    tx = make_adamw(1e-3)
+    state = TrainState.create(params, tx)
+    step = make_vl_train_step(model, tx, use_flash=True)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['loss']))
+    # flash and XLA attention agree on the loss
+    step2 = make_vl_train_step(model, tx, use_flash=False)
+    _, metrics2 = step2(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(metrics['loss']),
+                               float(metrics2['loss']), atol=1e-3)
