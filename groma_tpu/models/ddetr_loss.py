@@ -87,8 +87,18 @@ def _single_stage_loss(logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid,
         generalized_box_iou(cxcywh_to_xyxy(s), cxcywh_to_xyxy(t))))(
         src_boxes, tgt_boxes)
     loss_giou = jnp.sum(jnp.where(tgt_valid, 1.0 - giou, 0.0)) / num_boxes
+
+    # cardinality diagnostic (unweighted, logged only) — reproduces the
+    # HF DeformableDetrLoss.loss_cardinality definition, which degenerates
+    # to counting argmax != last-class; with num_labels == 1 that count is
+    # always 0, exactly as in the reference's class-agnostic runs
+    card_pred = jnp.sum(
+        jnp.argmax(logits32, axis=-1) != (ncls - 1), axis=1
+    ).astype(jnp.float32)
+    n_tgt = jnp.sum(tgt_valid, axis=1).astype(jnp.float32)
+    cardinality_error = jnp.mean(jnp.abs(card_pred - n_tgt))
     return {'loss_ce': loss_ce, 'loss_bbox': loss_bbox,
-            'loss_giou': loss_giou}
+            'loss_giou': loss_giou, 'cardinality_error': cardinality_error}
 
 
 def ddetr_loss(outputs: Dict, targets: Dict, cfg: DDETRConfig,
