@@ -368,7 +368,9 @@ def import_region_encoder(sd: Dict[str, np.ndarray], num_levels: int = 3,
         }
     params = {'mlvl_fuse': fuse}
     for lvl in range(num_levels):
-        params[f'pconv_{lvl}'] = _conv(s, f'roi_align.pconvs.{lvl}')
+        c = _conv(s, f'roi_align.pconvs.{lvl}')
+        params[f'pconv_kernel_{lvl}'] = c['kernel']
+        params[f'pconv_bias_{lvl}'] = c['bias']
     params['pos_fc1'] = _dense(s, 'roi_align.pos_embedd.0')
     params['pos_ln1'] = _ln(s, 'roi_align.pos_embedd.2')
     params['pos_fc2'] = _dense(s, 'roi_align.pos_embedd.3')

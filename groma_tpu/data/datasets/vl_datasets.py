@@ -349,9 +349,9 @@ class Grit(ConversationDatasetMixin):
                                           item['filename']))
         except Exception:
             return self.__getitem__(int(self.rng.integers(len(self))))
-        from groma_tpu.data.image_pipeline import normalize, resize
-        img, _ = resize(img, (self.spec.image_size,) * 2)
-        img = normalize(img)
+        from groma_tpu.data.image_pipeline import (normalize,
+                                                   resize_pil_bicubic)
+        img = normalize(resize_pil_bicubic(img, (self.spec.image_size,) * 2))
 
         template = self.pyrng.choice(item['ref_exps'])
         caption = item['caption']
@@ -389,13 +389,13 @@ class LLaVAInstruct(ConversationDatasetMixin):
         return len(self.meta_data)
 
     def __getitem__(self, idx):
-        from groma_tpu.data.image_pipeline import normalize, resize
+        from groma_tpu.data.image_pipeline import (normalize,
+                                                   resize_pil_bicubic)
         item = self.meta_data[idx]
         img = load_image(os.path.join(self.img_prefix, item['image'])) \
             if 'image' in item else np.zeros(
                 (self.spec.image_size, self.spec.image_size, 3), np.uint8)
-        img, _ = resize(img, (self.spec.image_size,) * 2)
-        img = normalize(img)
+        img = normalize(resize_pil_bicubic(img, (self.spec.image_size,) * 2))
         rounds = []
         convs = item['conversations']
         assert len(convs) % 2 == 0
@@ -423,11 +423,11 @@ class GromaInstruct(ConversationDatasetMixin):
         return len(self.meta_data)
 
     def __getitem__(self, idx):
-        from groma_tpu.data.image_pipeline import normalize, resize
+        from groma_tpu.data.image_pipeline import (normalize,
+                                                   resize_pil_bicubic)
         item = self.meta_data[idx]
         img = load_image(os.path.join(self.img_prefix, item['file_name']))
-        img, _ = resize(img, (self.spec.image_size,) * 2)
-        img = normalize(img)
+        img = normalize(resize_pil_bicubic(img, (self.spec.image_size,) * 2))
 
         bx = np.asarray(item['boxes'], np.float32)     # xywh pixels
         cxcywh = np.stack([bx[:, 0] + bx[:, 2] / 2, bx[:, 1] + bx[:, 3] / 2,

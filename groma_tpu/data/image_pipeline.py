@@ -30,14 +30,32 @@ def load_image(path: str) -> np.ndarray:
 
 def resize(img: np.ndarray, size: Tuple[int, int],
            boxes: Optional[np.ndarray] = None):
-    """Bilinear resize to (h, w), keep_ratio=False; boxes xyxy scaled."""
+    """Bilinear resize to (h, w), keep_ratio=False; boxes xyxy scaled.
+
+    cv2 INTER_LINEAR semantics (the reference's mmcv/mmdet Resize uses
+    cv2), served by the C++ fast path when built (data/native_ops.py).
+    Float inputs fall back to PIL."""
     h, w = img.shape[:2]
     oh, ow = size
-    out = np.asarray(Image.fromarray(img).resize((ow, oh), Image.BILINEAR))
+    if img.dtype == np.uint8:
+        from groma_tpu.data.native_ops import resize_bilinear
+        out = resize_bilinear(img, (oh, ow))
+    else:
+        out = np.asarray(Image.fromarray(img).resize((ow, oh),
+                                                     Image.BILINEAR))
     if boxes is None:
         return out, None
     scale = np.array([ow / w, oh / h, ow / w, oh / h], np.float32)
     return out, boxes * scale
+
+
+def resize_pil_bicubic(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """PIL bicubic resize — the raw-JSON datasets (GRIT / LLaVA /
+    Groma-Instruct) resize through PIL Image.resize whose default filter is
+    bicubic (reference: groma/data/datasets/llava.py:85, grit.py:105,
+    groma.py:96)."""
+    oh, ow = size
+    return np.asarray(Image.fromarray(img).resize((ow, oh), Image.BICUBIC))
 
 
 def resize_keep_ratio(img: np.ndarray, scale: Tuple[int, int],

@@ -208,18 +208,32 @@ class RegionEncoder(nn.Module):
         rois = (boxes * self.image_size).astype(jnp.float32)   # (B, R, 4)
 
         strides = [14 / 8, 14 / 4, 14 / 2]
-        acc = None
+        pooled_all = []
         for lvl in range(nl):
             pooled = roi_align_batched(
                 fused[lvl].astype(jnp.float32), rois,
                 output_size=self.roi_out,
                 spatial_scale=1.0 / strides[lvl],
                 sampling_ratio=2, aligned=True)
-            pooled = pooled.reshape(b * r, self.roi_out, self.roi_out, d)
-            pooled = pooled.astype(cdtype)
-            proj = nn.Conv(d, (3, 3), padding=((1, 1), (1, 1)),
-                           dtype=cdtype, name=f'pconv_{lvl}')(pooled)
-            acc = proj if acc is None else acc + proj
+            pooled_all.append(
+                pooled.reshape(b * r, self.roi_out, self.roi_out,
+                               d).astype(cdtype))
+        # sum_l conv_l(pooled_l) == ONE conv over channel-concatenated
+        # inputs with channel-concatenated kernels: 1/3 the conv calls and
+        # a 3x deeper contraction for the MXU (reference math:
+        # roi_align.py:312-317 pconvs sum).
+        kernels = [self.param(f'pconv_kernel_{lvl}',
+                              nn.initializers.normal(0.01), (3, 3, d, d))
+                   for lvl in range(nl)]
+        biases = [self.param(f'pconv_bias_{lvl}', nn.initializers.zeros,
+                             (d,)) for lvl in range(nl)]
+        cat_in = jnp.concatenate(pooled_all, axis=-1)
+        cat_k = jnp.concatenate(kernels, axis=2).astype(cdtype)
+        acc = jax.lax.conv_general_dilated(
+            cat_in, cat_k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.float32)
+        acc = (acc + sum(biases)).astype(cdtype)
         acc = nn.relu(acc)                                 # (B*R, 14, 14, d)
         flat = acc.reshape(b * r, -1).astype(cdtype)
         # NOTE: the reference flattens NCHW (channel-major); our NHWC
