@@ -10,6 +10,7 @@ Distribution: one (dp, fsdp) mesh; GSPMD shards batch + params.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -140,6 +141,11 @@ def main():
                     'targets': {k: jax.device_put(v, dshard)
                                 for k, v in batch['targets'].items()},
                 }
+                prof_dir = os.environ.get('GROMA_PROFILE_DIR')
+                if prof_dir and step == 10:
+                    jax.profiler.start_trace(prof_dir)
+                if prof_dir and step == 13:
+                    jax.profiler.stop_trace()
                 state, losses = step_fns[source](state, device_batch)
                 step += 1
                 if step % args.logging_steps == 0:

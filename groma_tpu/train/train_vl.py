@@ -11,6 +11,7 @@ parameter sharding (+ remat via the model's use_flash/remat options).
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -186,6 +187,11 @@ def main():
                 device_batch = {k: jax.device_put(v, dshard)
                                 for k, v in batch.items()}
                 rng, sub = jax.random.split(rng)
+                prof_dir = os.environ.get('GROMA_PROFILE_DIR')
+                if prof_dir and step == 10:
+                    jax.profiler.start_trace(prof_dir)
+                if prof_dir and step == 13:
+                    jax.profiler.stop_trace()
                 state, metrics = step_fn(state, device_batch, sub)
                 micro += 1
                 step = micro // args.gradient_accumulation_steps
