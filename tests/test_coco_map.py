@@ -1,0 +1,61 @@
+"""Golden tests for the numpy COCO-protocol evaluator."""
+
+import numpy as np
+
+from groma_tpu.eval.coco_map import DetectionEvaluator
+
+
+def test_perfect_detection_ap1():
+    ev = DetectionEvaluator()
+    ev.add_ground_truth(1, 1, [0, 0, 10, 10])
+    ev.add_detection(1, 1, [0, 0, 10, 10], 0.9)
+    out = ev.summarize()
+    assert out['AP'] == 1.0 and out['AP50'] == 1.0 and out['AR'] == 1.0
+
+
+def test_miss_and_false_positive():
+    ev = DetectionEvaluator()
+    ev.add_ground_truth(1, 1, [0, 0, 10, 10])
+    ev.add_ground_truth(2, 1, [0, 0, 10, 10])
+    # one exact hit (high score), one pure FP (low score)
+    ev.add_detection(1, 1, [0, 0, 10, 10], 0.9)
+    ev.add_detection(2, 1, [50, 50, 60, 60], 0.5)
+    out = ev.summarize()
+    # precision at recall<=0.5 is 1.0, then drops; 101-pt AP = 51/101
+    np.testing.assert_allclose(out['AP50'], 51 / 101, atol=1e-6)
+    np.testing.assert_allclose(out['AR'], 0.5, atol=1e-6)
+
+
+def test_iou_threshold_sweep():
+    ev = DetectionEvaluator()
+    ev.add_ground_truth(1, 1, [0, 0, 10, 10])
+    # IoU ~0.68 box: counts at thr .5/.55/.6/.65 only
+    ev.add_detection(1, 1, [0, 0, 10, 6.8], 0.9)
+    out = ev.summarize()
+    iou = 6.8 * 10 / (10 * 10)   # 0.68
+    n_pass = sum(1 for t in np.linspace(0.5, 0.95, 10) if iou >= t)
+    np.testing.assert_allclose(out['AP'], n_pass / 10, atol=1e-6)
+
+
+def test_frequency_buckets():
+    ev = DetectionEvaluator(cat_frequencies={1: 'r', 2: 'f'})
+    for cat in (1, 2):
+        ev.add_ground_truth(1, cat, [0, 0, 10, 10])
+    ev.add_detection(1, 1, [0, 0, 10, 10], 0.9)     # rare: perfect
+    ev.add_detection(1, 2, [90, 90, 99, 99], 0.9)   # frequent: miss
+    out = ev.summarize()
+    assert out['AP_r'] == 1.0
+    assert out['AP_f'] == 0.0
+    np.testing.assert_allclose(out['AP'], 0.5, atol=1e-6)
+
+
+def test_greedy_matching_prefers_higher_score():
+    ev = DetectionEvaluator()
+    ev.add_ground_truth(1, 1, [0, 0, 10, 10])
+    # two detections on the same GT: only the higher-scored one matches
+    ev.add_detection(1, 1, [0, 0, 10, 10], 0.9)
+    ev.add_detection(1, 1, [0, 0, 10, 10], 0.8)
+    out = ev.summarize()
+    # the duplicate is an FP: precision 1.0 up to recall 1.0 achieved at
+    # rank 1, so AP50 stays 1.0 under interpolation
+    assert out['AP50'] == 1.0

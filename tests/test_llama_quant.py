@@ -1,0 +1,60 @@
+"""int8 LLaMA inference path vs the bf16 flax model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from groma_tpu.config import LlamaConfig
+from groma_tpu.models.llama import LlamaForCausalLM, make_kv_cache
+from groma_tpu.models.llama_quant import (quant_llama_forward,
+                                          quant_llama_logits,
+                                          quantize_llama_params)
+
+CFG = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                  num_layers=2, num_heads=4, num_kv_heads=4,
+                  dtype='float32')
+
+
+def _setup(rng):
+    model = LlamaForCausalLM(CFG)
+    ids = jnp.asarray(rng.integers(0, 128, (1, 12)))
+    params = model.init(jax.random.PRNGKey(0), ids)['params']
+    qp = quantize_llama_params(params, CFG)
+    return model, params, qp, ids
+
+
+def test_quant_forward_close_to_fp(rng):
+    model, params, qp, ids = _setup(rng)
+    want, _ = model.apply({'params': params}, ids)
+    emb = qp['embed_tokens'][ids].astype(jnp.float32)
+    mask = jnp.ones_like(ids, dtype=bool)
+    pos = jnp.broadcast_to(jnp.arange(12)[None], (1, 12))
+    h, _ = quant_llama_forward(qp, CFG, emb, mask, pos)
+    got = quant_llama_logits(qp, h)
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    # int8 noise: demand high cosine similarity + matching argmax mostly
+    cos = (w * g).sum() / (np.linalg.norm(w) * np.linalg.norm(g))
+    assert cos > 0.99, cos
+    agree = (w.argmax(-1) == g.argmax(-1)).mean()
+    assert agree >= 0.8, agree
+
+
+def test_quant_cache_decode(rng):
+    model, params, qp, ids = _setup(rng)
+    mask = jnp.ones_like(ids, dtype=bool)
+    pos = jnp.broadcast_to(jnp.arange(12)[None], (1, 12))
+    emb = qp['embed_tokens'][ids].astype(jnp.float32)
+    full_h, _ = quant_llama_forward(qp, CFG, emb, mask, pos)
+
+    cache = make_kv_cache(CFG, 1, 16, dtype=jnp.float32)
+    h6, cache = quant_llama_forward(qp, CFG, emb[:, :6], mask[:, :6],
+                                    pos[:, :6], cache)
+    np.testing.assert_allclose(np.asarray(h6), np.asarray(full_h[:, :6]),
+                               atol=1e-4)
+    for t in range(6, 12):
+        ht, cache = quant_llama_forward(qp, CFG, emb[:, t:t + 1],
+                                        mask[:, t:t + 1], pos[:, t:t + 1],
+                                        cache)
+        np.testing.assert_allclose(np.asarray(ht[:, 0]),
+                                   np.asarray(full_h[:, t]), atol=1e-4)
