@@ -52,9 +52,11 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=('block_n', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('block_n', 'block_m',
+                                             'interpret'))
 def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
-                block_n: int = 512, interpret: bool | None = None):
+                block_n: int = 512, block_m: int = 256,
+                interpret: bool | None = None):
     """x (M, K) bf16/f32 @ int8 weights (K, N) with per-column scales.
 
     Returns (M, N) in x.dtype.  K must be a multiple of 32 (int8 sublane
@@ -65,27 +67,38 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
     m, k = x.shape
     k2, n = w_q.shape
     assert k == k2
-    if k % 32 != 0 or m < 8:
+    if k % 32 != 0:
         # shape not kernel-friendly: XLA fallback
         return (x.astype(jnp.float32)
                 @ (w_q.astype(jnp.float32) * scale)).astype(x.dtype)
+    m_pad = 0
+    if m < 8:
+        # single-token decode: pad rows up to the fp32 sublane tile —
+        # still weight-streaming-bound, and it keeps the int8 weights
+        # un-materialized (the XLA fallback would dequantize all of HBM)
+        m_pad = 8 - m
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+        m = 8
+    block_m = min(block_m, m)
     n_pad = pl.cdiv(n, block_n) * block_n
+    m_pad2 = pl.cdiv(m, block_m) * block_m - m
     w_p = jnp.pad(w_q, ((0, 0), (0, n_pad - n)))
     s_p = jnp.pad(scale.astype(jnp.float32), (0, n_pad - n))[None, :]
+    x_p = jnp.pad(x, ((0, m_pad2), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_int8_matmul_kernel, block_n=block_n),
-        grid=(n_pad // block_n,),
+        grid=((m + m_pad2) // block_m, n_pad // block_n),
         in_specs=[
-            pl.BlockSpec((m, k), lambda j: (0, 0)),
-            pl.BlockSpec((k, block_n), lambda j: (0, j)),
-            pl.BlockSpec((1, block_n), lambda j: (0, j)),
+            pl.BlockSpec((block_m, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((m, block_n), lambda j: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((m, n_pad), x.dtype),
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m + m_pad2, n_pad), x.dtype),
         interpret=interpret,
-    )(x.astype(jnp.bfloat16) if not interpret else x, w_p, s_p)
-    return out[:, :n]
+    )(x_p.astype(jnp.bfloat16) if not interpret else x_p, w_p, s_p)
+    return out[:m - m_pad if m_pad else m, :n]
 
 
 def quantize_dense_tree(params, path_pred):
