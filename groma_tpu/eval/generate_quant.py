@@ -1,0 +1,128 @@
+"""Int8-LLM Groma generation: vision bf16 + weight-only-int8 LLaMA.
+
+The TPU analogue of the reference's 8-bit inference switch
+(reference: groma/eval/run_groma.py:43-61 load_in_8bit): vision tower and
+region tokenizer run bf16 flax; the 7B decoder runs through
+models/llama_quant.py.  Groma-7B then fits one 16 GB v5e chip
+(~1.3 GB vision + ~7 GB int8 LLM + cache).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from groma_tpu.config import GromaConfig
+from groma_tpu.models.groma import GromaModel
+from groma_tpu.models.llama import make_kv_cache
+from groma_tpu.models.llama_quant import (quant_llama_forward,
+                                          quant_llama_logits,
+                                          quantize_llama_params)
+from groma_tpu.ops.quant import quantize_weight
+
+
+def quantize_groma_llm(params: dict, cfg: GromaConfig) -> dict:
+    """Quantize the LLM branch of a GromaModel param tree; embeddings and
+    the small extra head stay bf16."""
+    qp = quantize_llama_params(
+        {'model': params['llm'],
+         'embed_tokens': params['embed_tokens'],
+         'lm_head': params['lm_head']}, cfg.llm)
+    qp['new_input_embs'] = jnp.asarray(params['new_input_embs'],
+                                       jnp.bfloat16)
+    qp['extra_lm_head'] = jnp.asarray(params['extra_lm_head']['kernel'],
+                                      jnp.bfloat16)
+    return qp
+
+
+class QuantGenerator:
+    """Prefill + greedy scan decode with the int8 LLM."""
+
+    def __init__(self, model: GromaModel, params, qp, max_len: int = 2048):
+        self.model = model
+        cfg = model.cfg
+        self.cfg = cfg
+        sp_base = cfg.llm.vocab_size
+
+        def logits_fn(qp, hidden):
+            base = quant_llama_logits(qp, hidden)
+            extra = jnp.einsum('bsd,dv->bsv',
+                               hidden.astype(jnp.bfloat16),
+                               qp['extra_lm_head'],
+                               preferred_element_type=jnp.float32)
+            return jnp.concatenate([base, extra], axis=-1)
+
+        def embed_fn(qp, ids):
+            is_new = ids >= sp_base
+            base = qp['embed_tokens'][jnp.where(is_new, 0, ids)]
+            new = qp['new_input_embs'][jnp.where(is_new, ids - sp_base, 0)]
+            return jnp.where(is_new[..., None], new, base)
+
+        def prefill(params, qp, images, input_ids, region_slot, base_valid,
+                    refer_boxes, refer_valid):
+            emb, ids, valid, vis = model.apply(
+                {'params': params}, images, input_ids, region_slot,
+                base_valid, refer_boxes=refer_boxes,
+                refer_valid=refer_valid, method=GromaModel.prepare_stream)
+            pos = jnp.maximum(
+                jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
+            cache = make_kv_cache(cfg.llm, images.shape[0], max_len)
+            hidden, cache = quant_llama_forward(qp, cfg.llm, emb, valid,
+                                                pos, cache)
+            last = jnp.argmax(pos, axis=-1)
+            last_h = jnp.take_along_axis(hidden, last[:, None, None],
+                                         axis=1)
+            next_pos = jnp.take_along_axis(pos, last[:, None], -1) + 1
+            return logits_fn(qp, last_h)[:, 0], cache, vis, next_pos
+
+        def decode_scan(qp, logits0, cache, pos0, n_steps, eos_id):
+            def step(carry, i):
+                logits, cache, done = carry
+                tok = jnp.argmax(logits, axis=-1)
+                tok = jnp.where(done, eos_id, tok)
+                done = done | (tok == eos_id)
+                emb = embed_fn(qp, tok[:, None])
+                hidden, cache = quant_llama_forward(
+                    qp, cfg.llm, emb,
+                    jnp.ones_like(tok[:, None], dtype=bool),
+                    pos0 + i, cache)
+                return (logits_fn(qp, hidden)[:, -1], cache, done), tok
+
+            b = logits0.shape[0]
+            (_, _, _), toks = jax.lax.scan(
+                step, (logits0, cache, jnp.zeros((b,), bool)),
+                jnp.arange(n_steps))
+            return jnp.swapaxes(toks, 0, 1)
+
+        self.params = params
+        self.qp = qp
+        self._prefill = jax.jit(prefill)
+        self._decode_scan = jax.jit(decode_scan, donate_argnums=(2,),
+                                    static_argnames=('n_steps', 'eos_id'))
+
+    def generate(self, images, input_ids, region_slot, base_valid,
+                 refer_boxes=None, refer_valid=None,
+                 max_new_tokens: int = 32, eos_id: int = 2):
+        b = images.shape[0]
+        if refer_boxes is None:
+            refer_boxes = jnp.zeros((b, 0, 4), jnp.float32)
+            refer_valid = jnp.zeros((b, 0), bool)
+        logits, cache, vis, next_pos = self._prefill(
+            self.params, self.qp, images, input_ids, region_slot,
+            base_valid, refer_boxes, refer_valid)
+        toks = np.asarray(self._decode_scan(self.qp, logits, cache,
+                                            next_pos, max_new_tokens,
+                                            eos_id))
+        out = []
+        for row in toks:
+            stop = np.nonzero(row == eos_id)[0]
+            out.append(row[:stop[0] + 1] if len(stop) else row)
+        width = max(len(r) for r in out)
+        tokens = np.full((b, width), eos_id, toks.dtype)
+        for i, r in enumerate(out):
+            tokens[i, :len(r)] = r
+        return tokens, jax.tree_util.tree_map(np.asarray, {
+            'selected_boxes': vis['selected_boxes'],
+            'selected_mask': vis['selected_mask'],
+        })

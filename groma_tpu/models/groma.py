@@ -316,6 +316,20 @@ class GromaModel(nn.Module):
                                        axis=-1) + 1
         return self.logits(last_hidden), cache, vis, next_pos
 
+    def prepare_stream(self, images, input_ids, region_slot, base_valid,
+                       refer_boxes=None, refer_valid=None,
+                       ground_boxes=None, ground_valid=None):
+        """Vision + surgery only — returns (inputs_embeds, valid, vis).
+
+        Lets alternative LLM execution paths (e.g. the int8 weight-only
+        decoder in models/llama_quant.py) consume the grounded stream."""
+        vis = self.vision(images, refer_boxes, refer_valid,
+                          ground_boxes, ground_valid)
+        emb, ids, _, valid = self.build_stream(
+            input_ids, None, region_slot, base_valid, vis,
+            refer_boxes, refer_valid, ground_boxes, ground_valid)
+        return emb, ids, valid, vis
+
     def decode_step(self, token_ids, cache, position_ids):
         """One decode step: (B, 1) ids -> (B, V) logits + updated cache."""
         emb = self.embed(token_ids)

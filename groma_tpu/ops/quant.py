@@ -55,7 +55,7 @@ def _on_tpu() -> bool:
 @functools.partial(jax.jit, static_argnames=('block_n', 'block_m',
                                              'interpret'))
 def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
-                block_n: int = 512, block_m: int = 256,
+                block_n: int = 256, block_m: int = 128,
                 interpret: bool | None = None):
     """x (M, K) bf16/f32 @ int8 weights (K, N) with per-column scales.
 

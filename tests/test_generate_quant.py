@@ -1,0 +1,47 @@
+"""Quantized Groma generation path vs full precision (tiny model)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from groma_tpu.config import tiny_groma_config
+from groma_tpu.data.datasets.base import VLDataSpec
+from groma_tpu.data.tokenizer import StubTokenizer
+from groma_tpu.eval.generate import Generator
+from groma_tpu.eval.generate_quant import QuantGenerator, quantize_groma_llm
+from groma_tpu.eval.rec import build_rec_prompt
+from groma_tpu.models.groma import GromaModel
+
+CFG = tiny_groma_config()
+SPEC = VLDataSpec(num_image_tokens=CFG.num_image_tokens,
+                  max_region_num=CFG.max_region_num,
+                  max_seq_len=CFG.max_seq_len,
+                  image_size=CFG.perceiver.image_size)
+
+
+def test_quant_generator_runs_and_tracks_fp(rng):
+    tok = StubTokenizer(base_vocab=CFG.llm.vocab_size)
+    model = GromaModel(CFG)
+    t = build_rec_prompt('thing', tok, SPEC)
+    img = jnp.asarray(rng.standard_normal((1, 56, 56, 3)), jnp.float32)
+    kw = dict(images=img,
+              input_ids=jnp.asarray(t['input_ids'][None]),
+              region_slot=jnp.asarray(t['region_slot'][None]),
+              base_valid=jnp.asarray(t['valid'][None]))
+    params = model.init(jax.random.PRNGKey(0), **kw)['params']
+    qp = quantize_groma_llm(params, CFG)
+
+    fp = Generator(model, params, max_len=CFG.max_seq_len + 8)
+    qg = QuantGenerator(model, params, qp, max_len=CFG.max_seq_len + 8)
+
+    toks_fp, vis_fp = fp.generate(
+        img, kw['input_ids'], kw['region_slot'], kw['base_valid'],
+        max_new_tokens=3, eos_id=tok.sp.eos)
+    toks_q, vis_q = qg.generate(
+        img, kw['input_ids'], kw['region_slot'], kw['base_valid'],
+        max_new_tokens=3, eos_id=tok.sp.eos)
+    assert toks_q.shape[0] == 1 and toks_q.shape[1] >= 1
+    # same proposal pool (vision path is shared, full precision)
+    np.testing.assert_allclose(vis_q['selected_boxes'],
+                               vis_fp['selected_boxes'], atol=1e-5)
