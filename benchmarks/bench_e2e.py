@@ -1,0 +1,162 @@
+"""End-to-end Groma-7B REC inference (BASELINE config 4).
+
+Image -> DINOv2-L -> DDETR proposals -> NMS top-100 -> region tokens ->
+token surgery -> Vicuna-7B prefill (~1.4k tokens) -> 3-token decode ->
+``<rK>`` -> box.  Vision runs bf16 flax; the 7B decoder runs weight-only
+int8 (models/llama_quant.py), which is what lets the whole model fit one
+16 GB v5e chip (~2.6 GB vision fp32 params + ~7 GB int8 LLM + cache).
+
+The whole per-image pipeline is ONE jitted program; timing is
+seed-perturbed fetch-forced (tunnel-safe).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from groma_tpu.config import (DDETRConfig, GromaConfig, LlamaConfig,
+                                  PerceiverConfig, ViTConfig)
+    from groma_tpu.data.datasets.base import VLDataSpec
+    from groma_tpu.data.tokenizer import StubTokenizer
+    from groma_tpu.eval.rec import build_rec_prompt
+    from groma_tpu.models.groma import GromaModel
+    from groma_tpu.models.llama import make_kv_cache
+    from groma_tpu.models.llama_quant import (quant_llama_forward,
+                                              quant_llama_logits)
+
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    if on_tpu:
+        cfg = GromaConfig(
+            llm=LlamaConfig(),
+            perceiver=PerceiverConfig(vit=ViTConfig(dtype='bfloat16'),
+                                      ddetr=DDETRConfig(dtype='bfloat16'),
+                                      image_size=448))
+        decode_steps = 3       # REC emits <r K> </roi> style short answers
+    else:
+        from __graft_entry__ import _small_cfg
+        cfg = _small_cfg()
+        decode_steps = 2
+
+    model = GromaModel(cfg)
+    spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
+                      max_region_num=cfg.max_region_num,
+                      max_seq_len=cfg.max_seq_len,
+                      image_size=cfg.perceiver.image_size)
+    tok = StubTokenizer(base_vocab=cfg.llm.vocab_size)
+    t = build_rec_prompt('the red object on the left', tok, spec)
+    img_sz = cfg.perceiver.image_size
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.standard_normal((1, img_sz, img_sz, 3)),
+                        jnp.float32)
+    ids = jnp.asarray(t['input_ids'][None])
+    slot = jnp.asarray(t['region_slot'][None])
+    valid0 = jnp.asarray(t['valid'][None])
+
+    # vision-side params only (prepare_stream never touches the LLM)
+    t0 = time.time()
+    params = jax.jit(
+        lambda im, i, s, v: model.init(jax.random.PRNGKey(0), im, i, s, v,
+                                       method=GromaModel.prepare_stream)
+    )(image, ids, slot, valid0)['params']
+    print(f'# vision init {time.time() - t0:.1f}s', file=sys.stderr)
+
+    # synthetic int8 LLM weights (random real ones load the same way via
+    # eval/generate_quant.quantize_groma_llm)
+    H, I, V, L = (cfg.llm.hidden_size, cfg.llm.intermediate_size,
+                  cfg.llm.vocab_size, cfg.llm.num_layers)
+
+    def mk_q(k, n):
+        return {'q': jnp.ones((k, n), jnp.int8),
+                'scale': jnp.full((n,), 1e-4, jnp.float32)}
+
+    qp = {
+        'layers': [{
+            'input_layernorm': jnp.ones((H,), jnp.float32),
+            'post_attention_layernorm': jnp.ones((H,), jnp.float32),
+            'q_proj': mk_q(H, H), 'k_proj': mk_q(H, H),
+            'v_proj': mk_q(H, H), 'o_proj': mk_q(H, H),
+            'gate_proj': mk_q(H, I), 'up_proj': mk_q(H, I),
+            'down_proj': mk_q(I, H)} for _ in range(L)],
+        'norm': jnp.ones((H,), jnp.float32),
+        'embed_tokens': jnp.full((V, H), 0.01, jnp.bfloat16),
+        'new_input_embs': jnp.full((cfg.num_new_token, H), 0.01,
+                                   jnp.bfloat16),
+        'lm_head': mk_q(H, V),
+        'extra_lm_head': jnp.full((H, cfg.num_new_token), 0.01,
+                                  jnp.bfloat16),
+    }
+    qp = jax.jit(lambda x: x)(qp)
+
+    max_len = cfg.max_seq_len + 8
+    base = cfg.llm.vocab_size
+
+    def logits_fn(qp, hidden):
+        lg = quant_llama_logits(qp, hidden)
+        extra = jnp.einsum('bsd,dv->bsv', hidden.astype(jnp.bfloat16),
+                           qp['extra_lm_head'],
+                           preferred_element_type=jnp.float32)
+        return jnp.concatenate([lg, extra], axis=-1)
+
+    def e2e(params, qp, image, ids, slot, valid0, seed):
+        image = image + seed.astype(image.dtype) * 1e-9
+        emb, fids, valid, vis = model.apply(
+            {'params': params}, image, ids, slot, valid0,
+            method=GromaModel.prepare_stream)
+        pos = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
+        cache = make_kv_cache(cfg.llm, 1, max_len)
+        hidden, cache = quant_llama_forward(qp, cfg.llm, emb, valid, pos,
+                                            cache)
+        last = jnp.argmax(pos, axis=-1)
+        logits = logits_fn(
+            qp, jnp.take_along_axis(hidden, last[:, None, None], 1))[:, 0]
+        pos0 = jnp.take_along_axis(pos, last[:, None], -1) + 1
+
+        def step(carry, i):
+            logits, cache = carry
+            tokk = jnp.argmax(logits, -1)
+            is_new = tokk >= base
+            embt = jnp.where(
+                is_new[..., None],
+                qp['new_input_embs'][jnp.where(is_new, tokk - base, 0)],
+                qp['embed_tokens'][jnp.where(is_new, 0, tokk)])[:, None]
+            hidden, cache2 = quant_llama_forward(
+                qp, cfg.llm, embt, jnp.ones((1, 1), bool), pos0 + i, cache)
+            return (logits_fn(qp, hidden)[:, -1], cache2), tokk
+
+        (_, _), toks = jax.lax.scan(step, (logits, cache),
+                                    jnp.arange(decode_steps))
+        return (toks.sum().astype(jnp.float32)
+                + vis['selected_boxes'].sum().astype(jnp.float32))
+
+    run = jax.jit(e2e)
+    t0 = time.time()
+    float(run(params, qp, image, ids, slot, valid0, jnp.int32(0)))
+    print(f'# e2e compile+first run {time.time() - t0:.1f}s',
+          file=sys.stderr)
+    t0 = time.time()
+    n = 3
+    for i in range(1, n + 1):
+        v = float(run(params, qp, image, ids, slot, valid0, jnp.int32(i)))
+    dt = (time.time() - t0) / n
+    print(json.dumps({
+        'metric': 'groma7b_e2e_rec_images_per_sec',
+        'value': round(1.0 / dt, 3),
+        'unit': 'images/sec',
+        'vs_baseline': round(1.0 / dt, 3),
+    }))
+    print(f'# {dt * 1000:.0f} ms/image (prefill {t["valid"].sum()} tokens '
+          f'+ {decode_steps} decode steps, bs 1)', file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()
