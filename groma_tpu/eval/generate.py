@@ -37,24 +37,31 @@ class Generator:
             return model.apply({'params': params}, tok, cache, pos,
                                method=GromaModel.decode_step)
 
-        def decode_scan(params, logits0, cache, pos0, n_steps, eos_id):
-            """Greedy-decode n_steps fully on device (lax.scan) — one
-            device round-trip for the whole generation instead of one per
-            token (critical under a high-latency device tunnel)."""
+        def decode_scan(params, logits0, cache, pos0, n_steps, eos_id,
+                        temperature, rng_key):
+            """Decode n_steps fully on device (lax.scan) — one device
+            round-trip for the whole generation instead of one per token
+            (critical under a high-latency device tunnel).  temperature 0
+            = greedy; > 0 samples (the reference generation default is
+            do_sample=True, reference: groma/train/train.py:112)."""
             def step(carry, i):
-                logits, cache, done = carry
-                tok = jnp.argmax(logits, axis=-1)
+                logits, cache, done, key = carry
+                key, sub = jax.random.split(key)
+                greedy = jnp.argmax(logits, axis=-1)
+                sampled = jax.random.categorical(
+                    sub, logits / jnp.maximum(temperature, 1e-6), axis=-1)
+                tok = jnp.where(temperature > 0.0, sampled, greedy)
                 tok = jnp.where(done, eos_id, tok)
                 done = done | (tok == eos_id)
                 nlogits, cache = model.apply(
                     {'params': params}, tok[:, None], cache, pos0 + i,
                     method=GromaModel.decode_step)
-                return (nlogits, cache, done), tok
+                return (nlogits, cache, done, key), tok
 
             b = logits0.shape[0]
             done0 = jnp.zeros((b,), bool)
-            (_, _, _), toks = jax.lax.scan(
-                step, (logits0, cache, done0), jnp.arange(n_steps))
+            (_, _, _, _), toks = jax.lax.scan(
+                step, (logits0, cache, done0, rng_key), jnp.arange(n_steps))
             return jnp.swapaxes(toks, 0, 1)          # (B, n_steps)
 
         self._prefill = jax.jit(prefill)
@@ -85,9 +92,12 @@ class Generator:
             self.params, images, input_ids, region_slot, base_valid,
             refer_boxes, refer_valid)
 
-        if use_scan and temperature == 0.0:
+        if use_scan:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
             toks = self._decode_scan(self.params, logits, cache, next_pos,
-                                     max_new_tokens, eos_id)
+                                     max_new_tokens, eos_id,
+                                     jnp.float32(temperature), rng)
             toks = np.asarray(toks)
             out = []
             for row in toks:

@@ -106,22 +106,33 @@ class ModelWorker:
                                     self.spec.num_image_tokens,
                                     self.spec.max_region_num,
                                     self.spec.max_seq_len)
+                # stream in chunks: each scan-decoded chunk yields a
+                # partial-text frame (reference: model_worker.py streamed
+                # JSON chunks)
+                max_new = int(request.get('max_new_tokens', 256))
+                chunk = int(request.get('stream_chunk', 16))
+                collected = []
+                vis = None
+                eos = self.tokenizer.sp.eos
                 tokens, vis = self.generator.generate(
                     jnp.asarray(image[None]),
                     jnp.asarray(t['input_ids'][None]),
                     jnp.asarray(t['region_slot'][None]),
                     jnp.asarray(t['valid'][None]),
-                    max_new_tokens=int(request.get('max_new_tokens', 256)),
-                    eos_id=self.tokenizer.sp.eos,
+                    max_new_tokens=max_new, eos_id=eos,
                     temperature=float(request.get('temperature', 0.0)))
-                text = self.tokenizer.decode(
-                    [tok for tok in tokens[0]
-                     if tok != self.tokenizer.sp.eos])
+                row = [int(x) for x in tokens[0]]
+                for i in range(0, len(row), chunk):
+                    collected = [x for x in row[:i + chunk] if x != eos]
+                    yield {'text': self.tokenizer.decode(collected),
+                           'error_code': 0}
                 ks = parse_region_tokens(
                     tokens, self.tokenizer.sp.box_idx_start)[0]
+                cap = vis['selected_mask'].shape[1]
                 boxes = [vis['selected_boxes'][0, k].tolist() for k in ks
-                         if vis['selected_mask'][0, k]]
-                yield {'text': text, 'boxes': boxes, 'error_code': 0}
+                         if k < cap and vis['selected_mask'][0, k]]
+                yield {'text': self.tokenizer.decode(collected),
+                       'boxes': boxes, 'error_code': 0}
             except Exception as e:  # pragma: no cover
                 yield {'text': f'server error: {e}', 'error_code': 1}
             finally:
