@@ -73,6 +73,65 @@ class HFTokenizer(BaseTokenizer):
         return self.tok.decode(ids, skip_special_tokens=False)
 
 
+class SPMTokenizer(BaseTokenizer):
+    """LLaMA tokenizer.model via the pure-python sentencepiece BPE reader
+    (data/spm.py) + the 114 added protocol tokens in reference order —
+    covers Vicuna checkpoints when neither sentencepiece nor a fast
+    tokenizer.json is available."""
+
+    def __init__(self, model_path: str, model_max_length: int = 2048):
+        from groma_tpu.data.spm import SentencePieceBPE
+        import os
+        if os.path.isdir(model_path):
+            model_path = os.path.join(model_path, 'tokenizer.model')
+        self.spm = SentencePieceBPE(model_path)
+        self.base_vocab = self.spm.vocab_size
+        self.model_max_length = model_max_length
+        self._special = {t: self.base_vocab + i
+                         for i, t in enumerate(NEW_TOKENS)}
+        self._special['<s>'] = 1
+        self._special['</s>'] = 2
+        self._special['<unk>'] = 0
+
+    def encode(self, text: str, add_bos: bool = True) -> np.ndarray:
+        ids: List[int] = [1] if add_bos else []
+        for piece in _SPECIAL_RE.split(text):
+            if not piece:
+                continue
+            if piece in self._special:
+                ids.append(self._special[piece])
+            else:
+                ids.extend(self.spm.encode(piece, add_bos=False))
+        return np.asarray(ids[:self.model_max_length], np.int64)
+
+    def decode(self, ids) -> str:
+        inv = {v: k for k, v in self._special.items()}
+        out, plain = [], []
+        for i in ids:
+            i = int(i)
+            if i in inv and i >= self.base_vocab:
+                if plain:
+                    out.append(self.spm.decode(plain))
+                    plain = []
+                out.append(inv[i])
+            else:
+                plain.append(i)
+        if plain:
+            out.append(self.spm.decode(plain))
+        return ' '.join(out)
+
+
+def load_tokenizer(path: str, model_max_length: int = 2048) -> BaseTokenizer:
+    """HF fast tokenizer if tokenizer.json exists, else the pure-python
+    sentencepiece reader (tokenizer.model)."""
+    import os
+    if os.path.exists(os.path.join(path, 'tokenizer.json')):
+        return HFTokenizer(path, model_max_length)
+    if os.path.exists(os.path.join(path, 'tokenizer.model')):
+        return SPMTokenizer(path, model_max_length)
+    return HFTokenizer(path, model_max_length)
+
+
 class StubTokenizer(BaseTokenizer):
     """Deterministic word-hash tokenizer for tests: protocol tokens map to
     their derived ids, everything else hashes into the base vocab."""
