@@ -37,12 +37,12 @@ def main():
     from groma_tpu.data.image_pipeline import (load_image, normalize,
                                                resize,
                                                xyxy_to_norm_cxcywh)
-    from groma_tpu.data.tokenizer import HFTokenizer
+    from groma_tpu.data.tokenizer import load_tokenizer
     from groma_tpu.eval.generate import Generator
     from groma_tpu.eval.rec import evaluate_rec
 
     model, params, cfg = load_groma(args.model_dir)
-    tokenizer = HFTokenizer(args.tokenizer or args.model_dir,
+    tokenizer = load_tokenizer(args.tokenizer or args.model_dir,
                             cfg.max_seq_len)
     spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
                       max_region_num=cfg.max_region_num,

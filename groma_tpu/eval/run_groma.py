@@ -52,7 +52,7 @@ def main():
                                               intro_conversation)
     from groma_tpu.data.image_pipeline import load_image, normalize, resize
     from groma_tpu.data.tokenization import expand_template
-    from groma_tpu.data.tokenizer import HFTokenizer
+    from groma_tpu.data.tokenizer import load_tokenizer
     from groma_tpu.checkpoint.loader import load_groma
     from groma_tpu.eval.generate import Generator, parse_region_tokens
     from groma_tpu.models.groma import GromaModel
@@ -60,7 +60,7 @@ def main():
     model, params, cfg = load_groma(args.model_dir,
                                     dtype='bfloat16' if args.quant_type
                                     == 'bf16' else None)
-    tokenizer = HFTokenizer(args.tokenizer or args.model_dir,
+    tokenizer = load_tokenizer(args.tokenizer or args.model_dir,
                             model_max_length=cfg.max_seq_len)
     spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
                       max_region_num=cfg.max_region_num,

@@ -21,11 +21,11 @@ def main():
     from groma_tpu.data.datasets.base import VLDataSpec, intro_conversation
     from groma_tpu.data.image_pipeline import load_image, normalize, resize
     from groma_tpu.data.tokenization import expand_template
-    from groma_tpu.data.tokenizer import HFTokenizer
+    from groma_tpu.data.tokenizer import load_tokenizer
     from groma_tpu.eval.generate import Generator, parse_region_tokens
 
     model, params, cfg = load_groma(a.model_dir)
-    tokenizer = HFTokenizer(a.tokenizer or a.model_dir, cfg.max_seq_len)
+    tokenizer = load_tokenizer(a.tokenizer or a.model_dir, cfg.max_seq_len)
     spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
                       max_region_num=cfg.max_region_num,
                       max_seq_len=cfg.max_seq_len,

@@ -27,12 +27,12 @@ class ModelWorker:
                  model_name: str = 'groma', limit: int = 2,
                  controller_addr: str = ''):
         from groma_tpu.checkpoint.loader import load_groma
-        from groma_tpu.data.tokenizer import HFTokenizer
+        from groma_tpu.data.tokenizer import load_tokenizer
         from groma_tpu.data.datasets.base import VLDataSpec
         from groma_tpu.eval.generate import Generator
 
         self.model, self.params, self.cfg = load_groma(model_dir)
-        self.tokenizer = HFTokenizer(tokenizer_path or model_dir,
+        self.tokenizer = load_tokenizer(tokenizer_path or model_dir,
                                      self.cfg.max_seq_len)
         self.spec = VLDataSpec(
             num_image_tokens=self.cfg.num_image_tokens,

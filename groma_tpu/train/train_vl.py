@@ -123,7 +123,7 @@ def main():
                                       build_multi_datasets, collate_vl)
     from groma_tpu.data.datasets.base import VLDataSpec
     from groma_tpu.data.loader import DataLoader
-    from groma_tpu.data.tokenizer import HFTokenizer
+    from groma_tpu.data.tokenizer import load_tokenizer
     from groma_tpu.parallel.mesh import (data_sharding, make_mesh,
                                          shard_params)
     from groma_tpu.train.optimizer import (cosine_schedule,
@@ -133,7 +133,7 @@ def main():
 
     model, params, cfg = compose_model(args)
     cfg = cfg.replace(max_seq_len=args.model_max_length)
-    tokenizer = HFTokenizer(args.tokenizer or args.llm
+    tokenizer = load_tokenizer(args.tokenizer or args.llm
                             or args.model_name_or_path,
                             model_max_length=args.model_max_length)
     spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
