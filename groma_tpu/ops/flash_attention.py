@@ -75,32 +75,42 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-
-    kv_valid = mask_ref[0, 0] != 0                              # (block_k,)
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
+    # causal block skipping: a kv block strictly above the diagonal of
+    # this q block is fully masked — skip all its compute
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        qpos = row + iq * block_q + (seq_kv - seq_q)
-        valid = valid & (col + ik * block_k <= qpos)
-    s = jnp.where(valid, s, NEG_INF)
+        q_end = iq * block_q + (block_q - 1) + (seq_kv - seq_q)
+        block_live = ik * block_k <= q_end
+    else:
+        block_live = True
 
-    m_prev = m_scr[:, :1]                               # (block_q, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    p = jnp.where(valid, p, 0.0)
-    corr = jnp.exp(m_prev - m_new)
-    l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-    v = v_ref[0].astype(jnp.float32)
-    acc[:] = acc[:] * corr + jax.lax.dot(p, v,
-                                         preferred_element_type=jnp.float32)
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    @pl.when(block_live)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+
+        kv_valid = mask_ref[0, 0] != 0                  # (block_k,)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            qpos = row + iq * block_q + (seq_kv - seq_q)
+            valid = valid & (col + ik * block_k <= qpos)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]                           # (block_q, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(valid, p, 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0].astype(jnp.float32)
+        acc[:] = acc[:] * corr + jax.lax.dot(
+            p, v, preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finalize():
@@ -176,32 +186,42 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
-
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    kv_valid = mask_ref[0, 0] != 0
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
-    row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    qpos = row + iq * block_q
-    valid = valid & (qpos < seq_q)
     if causal:
-        valid = valid & (col + ik * block_k <= qpos + (seq_kv - seq_q))
-    p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        q_end = iq * block_q + (block_q - 1) + (seq_kv - seq_q)
+        block_live = ik * block_k <= q_end
+    else:
+        block_live = True
 
-    dv_acc[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - delta) * scale
-    dk_acc[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+    @pl.when(block_live)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][:, :1]
+        delta = delta_ref[0][:, :1]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        kv_valid = mask_ref[0, 0] != 0
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        qpos = row + iq * block_q
+        valid = valid & (qpos < seq_q)
+        if causal:
+            valid = valid & (col + ik * block_k <= qpos + (seq_kv - seq_q))
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(iq == num_q_blocks - 1)
     def _finalize():
@@ -219,27 +239,36 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
-
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    kv_valid = mask_ref[0, 0] != 0
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        qpos = row + iq * block_q + (seq_kv - seq_q)
-        valid = valid & (col + ik * block_k <= qpos)
-    p = jnp.where(valid, jnp.exp(s - lse), 0.0)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - delta) * scale
-    dq_acc[:] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+        q_end = iq * block_q + (block_q - 1) + (seq_kv - seq_q)
+        block_live = ik * block_k <= q_end
+    else:
+        block_live = True
+
+    @pl.when(block_live)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][:, :1]
+        delta = delta_ref[0][:, :1]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        kv_valid = mask_ref[0, 0] != 0
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            qpos = row + iq * block_q + (seq_kv - seq_q)
+            valid = valid & (col + ik * block_k <= qpos)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dq_acc[:] += jax.lax.dot(ds, k,
+                                 preferred_element_type=jnp.float32)
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finalize():
