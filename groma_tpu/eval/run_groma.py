@@ -3,9 +3,9 @@
 Loads a Groma checkpoint, runs one grounded-chat turn on an image, prints
 the answer with ``<rK>`` tokens resolved to boxes, and optionally draws the
 referenced boxes onto an output image (PIL; the reference uses the same
-box-drawing approach).  Quantization switch parity: 'none' | 'bf16'
-(bitsandbytes nf4/int8 paths are CUDA-only in the reference,
-run_groma.py:43-61; int8 inference on TPU is future AQT work).
+box-drawing approach).  Quantization switch parity: 'none' | 'bf16' | 'int8'
+(int8 = weight-only Pallas dequant matmul, the TPU equivalent of the
+reference's bitsandbytes load_in_8bit; nf4 is future work).
 """
 
 from __future__ import annotations
@@ -39,7 +39,7 @@ def main():
     ap.add_argument('--tokenizer', default=None,
                     help='HF tokenizer path (defaults to model dir)')
     ap.add_argument('--quant_type', default='none',
-                    choices=['none', 'bf16'])
+                    choices=['none', 'bf16', 'int8'])
     ap.add_argument('--max-new-tokens', type=int, default=1024)
     ap.add_argument('--output-image', default='output.jpg')
     args = ap.parse_args()
@@ -79,7 +79,14 @@ def main():
     t = expand_template(ids, None, tokenizer.sp, spec.num_image_tokens,
                         spec.max_region_num, spec.max_seq_len)
 
-    gen = Generator(model, params, max_len=cfg.max_seq_len + 64)
+    if args.quant_type == 'int8':
+        from groma_tpu.eval.generate_quant import (QuantGenerator,
+                                                   quantize_groma_llm)
+        qp = quantize_groma_llm(params, cfg)
+        gen = QuantGenerator(model, params, qp,
+                             max_len=cfg.max_seq_len + 64)
+    else:
+        gen = Generator(model, params, max_len=cfg.max_seq_len + 64)
     tokens, vis = gen.generate(
         jnp.asarray(img[None]), jnp.asarray(t['input_ids'][None]),
         jnp.asarray(t['region_slot'][None]), jnp.asarray(t['valid'][None]),
