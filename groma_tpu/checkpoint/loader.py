@@ -118,15 +118,13 @@ def load_groma(path: str, dtype: Optional[str] = None):
         cfg_d = json.load(f)
     if 'config_type' in cfg_d:
         cfg = config_from_json(json.dumps(cfg_d))
-        from groma_tpu.checkpoint.orbax_io import CheckpointManager
+        from groma_tpu.checkpoint.orbax_io import restore_params
         import jax
         model = GromaModel(cfg)
-        mngr = CheckpointManager(path)
         template = jax.eval_shape(
             lambda: model.init(jax.random.PRNGKey(0),
                                **_dummy_batch(cfg)))['params']
-        restored, _ = mngr.restore({'params': template})
-        params = restored['params']
+        params = restore_params(path, template)
     else:
         cfg = hf_groma_config(cfg_d)
         sd = load_state_dict(path)

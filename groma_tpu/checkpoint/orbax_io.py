@@ -64,6 +64,29 @@ class CheckpointManager:
             return config_from_json(f.read())
 
 
+def export_params(output_dir: str, params, config=None):
+    """Write a params-only export checkpoint (the analogue of the
+    reference's trainer.save_model final export,
+    reference: groma/train/train.py:142-144) to <output_dir>/export —
+    loadable by checkpoint/loader.py without optimizer state."""
+    path = os.path.join(os.path.abspath(output_dir), 'export')
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, 'params'), {'params': params},
+               force=True)
+    ckptr.wait_until_finished()
+    if config is not None:
+        with open(os.path.join(output_dir, 'config.json'), 'w') as f:
+            f.write(config.to_json_string())
+
+
+def restore_params(output_dir: str, params_template):
+    """Restore a params-only export written by ``export_params``."""
+    path = os.path.join(os.path.abspath(output_dir), 'export', 'params')
+    ckptr = ocp.StandardCheckpointer()
+    out = ckptr.restore(path, {'params': params_template})
+    return out['params']
+
+
 def maybe_resume(manager: CheckpointManager, state_template):
     """HF-Trainer-style auto-resume: restore the latest checkpoint if one
     exists (reference: groma/train/train.py:137-140)."""

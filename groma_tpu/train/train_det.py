@@ -162,6 +162,8 @@ def main():
             if step >= total_steps:
                 break
         mngr.save(step, state, config=cfg, wait=True)
+        from groma_tpu.checkpoint.orbax_io import export_params
+        export_params(args.output_dir, state.params, config=cfg)
         print0(f'done at step {step}')
 
 

@@ -208,6 +208,8 @@ def main():
             if step >= total_steps:
                 break
         mngr.save(total_steps, state, config=cfg, wait=True)
+        from groma_tpu.checkpoint.orbax_io import export_params
+        export_params(args.output_dir, state.params, config=cfg)
         print0('training complete')
 
 
