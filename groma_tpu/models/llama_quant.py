@@ -39,16 +39,21 @@ def quantize_llama_params(params: dict, cfg: LlamaConfig,
     out = {'layers': [], 'norm': jnp.asarray(model['norm']['scale'])}
     for i in range(cfg.num_layers):
         lp = model[f'layers_{i}']
+        # fuse qkv and gate/up along the output dim: per-column int8
+        # scales stay exact under concatenation, and one Pallas dispatch
+        # streams all three weight blocks
+        qkv = jnp.concatenate([lp['self_attn']['q_proj']['kernel'],
+                               lp['self_attn']['k_proj']['kernel'],
+                               lp['self_attn']['v_proj']['kernel']], axis=1)
+        gate_up = jnp.concatenate([lp['gate_proj']['kernel'],
+                                   lp['up_proj']['kernel']], axis=1)
         out['layers'].append({
             'input_layernorm': jnp.asarray(lp['input_layernorm']['scale']),
             'post_attention_layernorm': jnp.asarray(
                 lp['post_attention_layernorm']['scale']),
-            'q_proj': q(lp['self_attn']['q_proj']['kernel']),
-            'k_proj': q(lp['self_attn']['k_proj']['kernel']),
-            'v_proj': q(lp['self_attn']['v_proj']['kernel']),
+            'qkv_proj': q(qkv),
             'o_proj': q(lp['self_attn']['o_proj']['kernel']),
-            'gate_proj': q(lp['gate_proj']['kernel']),
-            'up_proj': q(lp['up_proj']['kernel']),
+            'gate_up_proj': q(gate_up),
             'down_proj': q(lp['down_proj']['kernel']),
         })
     if 'embed_tokens' in params:
@@ -87,9 +92,11 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
     new_k, new_v = [], []
     for i, lp in enumerate(qp['layers']):
         h = rms_norm(x, lp['input_layernorm'], cfg.rms_norm_eps)
-        q = _qmm(h, lp['q_proj']).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
-        k = _qmm(h, lp['k_proj']).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
-        v = _qmm(h, lp['v_proj']).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+        qkv = _qmm(h, lp['qkv_proj'])
+        q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
+        q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q.astype(dtype), cos, sin)
         k = apply_rope(k.astype(dtype), cos, sin)
         v = v.astype(dtype)
@@ -129,9 +136,9 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
         x = x + _qmm(attn, lp['o_proj']).astype(dtype)
 
         h = rms_norm(x, lp['post_attention_layernorm'], cfg.rms_norm_eps)
-        gate = jax.nn.silu(_qmm(h, lp['gate_proj']))
-        up = _qmm(h, lp['up_proj'])
-        x = x + _qmm((gate * up).astype(dtype),
+        gu = _qmm(h, lp['gate_up_proj'])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        x = x + _qmm((jax.nn.silu(gate) * up).astype(dtype),
                      lp['down_proj']).astype(dtype)
 
     x = rms_norm(x, qp['norm'], cfg.rms_norm_eps)
