@@ -26,7 +26,10 @@ Reference behaviors preserved (parity-critical):
 Consciously fixed (documented deviations):
 * decode steps keep the true key-validity mask instead of the reference's
   rebuilt all-ones mask (groma.py:376-379) — identical for unbatched eval,
-  correct for batched serving.
+  correct for batched serving,
+* the random region-index permutation is gated on ``permute`` (train only)
+  instead of running unconditionally at eval too (groma.py:275 applies it
+  always; index identity does not affect REC metrics, determinism does).
 """
 
 from __future__ import annotations

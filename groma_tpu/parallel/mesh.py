@@ -27,6 +27,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host process-group init (the reference's
+    init_distributed_mode, reference: groma/utils.py:143-185, env:// and
+    SLURM discovery).  jax.distributed reads the standard env vars
+    (COORDINATOR_ADDRESS etc.) when args are None; on single-host runs
+    this is a no-op."""
+    import os
+    if num_processes is None and 'JAX_NUM_PROCESSES' not in os.environ \
+            and coordinator_address is None \
+            and 'COORDINATOR_ADDRESS' not in os.environ:
+        return False  # single-host
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return True
+
+
 def make_mesh(dp: int = 1, fsdp: Optional[int] = None, tp: int = 1,
               devices=None) -> Mesh:
     """Build a (dp, fsdp, tp) mesh; fsdp defaults to 'everything else'."""
