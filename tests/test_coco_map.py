@@ -59,3 +59,35 @@ def test_greedy_matching_prefers_higher_score():
     # the duplicate is an FP: precision 1.0 up to recall 1.0 achieved at
     # rank 1, so AP50 stays 1.0 under interpolation
     assert out['AP50'] == 1.0
+
+
+def test_det_post_process_and_eval(rng):
+    import jax
+    import jax.numpy as jnp
+    from groma_tpu.config import tiny_groma_config
+    from groma_tpu.eval.det_eval import evaluate_detector, post_process
+    from groma_tpu.models.perceiver import Perceiver
+
+    cfg = tiny_groma_config().perceiver
+    model = Perceiver(cfg)
+    img = jnp.asarray(rng.standard_normal((1, 56, 56, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img)['params']
+
+    # post_process semantics on a crafted case
+    logits = jnp.full((1, 4, 1), -10.0).at[0, 2, 0].set(5.0)
+    boxes = jnp.asarray([[[.5, .5, .2, .2]] * 4], jnp.float32)
+    sizes = jnp.asarray([[100, 200]])
+    sc, lb, bx, keep = post_process(logits, boxes, sizes, top_k=4)
+    assert float(sc[0, 0]) > 0.99
+    np.testing.assert_allclose(np.asarray(bx[0, 0]),
+                               [0.4 * 200, 0.4 * 100, 0.6 * 200, 0.6 * 100],
+                               atol=1e-4)
+
+    def apply(p, im):
+        return model.apply({'params': p}, im)
+
+    samples = [{'images': np.asarray(img[0]), 'image_id': 1,
+                'ori_shape': (56, 56),
+                'gt': [(0, np.array([10., 10., 30., 30.]))]}]
+    out = evaluate_detector(apply, params, samples, top_k=8)
+    assert 'AP' in out and 0.0 <= out['AP'] <= 1.0
