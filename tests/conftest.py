@@ -21,6 +21,11 @@ os.environ.setdefault('JAX_ENABLE_X64', '0')
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# persistent compile cache: repeated suite runs skip recompilation
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
 assert jax.devices()[0].platform == 'cpu', 'tests must run on host CPU'
 assert jax.device_count() == 8, 'tests expect an 8-device virtual mesh'
 
