@@ -9,13 +9,13 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
 from groma_tpu.config import (DDETRConfig, GromaConfig, LlamaConfig,
                               PerceiverConfig, ViTConfig, config_from_json)
-from groma_tpu.checkpoint.hf_import import (import_dinov2, import_llama,
+from groma_tpu.checkpoint.hf_import import (import_llama,
                                             import_perceiver,
                                             import_region_encoder,
                                             load_state_dict, _dense)

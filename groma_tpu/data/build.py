@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import importlib.util
 import math
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

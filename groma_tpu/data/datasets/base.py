@@ -19,13 +19,13 @@ from __future__ import annotations
 
 import random
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
 from groma_tpu.constants import DEFAULT_TOKENS, IGNORE_INDEX
 from groma_tpu.data.conversation import Conversation, conv_templates
-from groma_tpu.data.tokenization import SpecialIds, expand_template
+from groma_tpu.data.tokenization import expand_template
 from groma_tpu.data.tokenizer import BaseTokenizer
 
 INTRO_INSTRUCT = ("Here is an image with region crops from it. "

@@ -10,7 +10,7 @@ static det train step.
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 import numpy as np
 

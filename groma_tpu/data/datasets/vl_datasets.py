@@ -28,7 +28,7 @@ import numpy as np
 from groma_tpu.constants import DEFAULT_TOKENS
 from groma_tpu.data.coco_index import CocoIndex
 from groma_tpu.data.datasets.base import (ConversationDatasetMixin,
-                                          VLDataSpec, finalize_vl)
+                                          VLDataSpec)
 from groma_tpu.data.image_pipeline import (VLPipeline, load_image,
                                            xyxy_to_norm_cxcywh)
 

@@ -33,7 +33,7 @@ import numpy as np
 
 from groma_tpu.constants import (DEFAULT_TOKENS, EXISTING_IN_BASE,
                                  IGNORE_INDEX, NEW_TOKENS,
-                                 NUM_REGION_TOKENS, REGION_IDX_TOKENS)
+                                 NUM_REGION_TOKENS)
 
 
 @dataclass(frozen=True)

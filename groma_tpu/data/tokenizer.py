@@ -10,7 +10,7 @@ data/tokenization.py) instead of queried per token.
 from __future__ import annotations
 
 import re
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -11,7 +11,7 @@ LVIS rare/common/frequent frequency buckets.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ evaluator (eval/coco_map.py) instead of pycocotools.
 
 from __future__ import annotations
 
-from typing import Iterable, Tuple
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ single cached XLA program stepped from the host (greedy or sampled).
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import jax

@@ -19,7 +19,7 @@ from groma_tpu.models.llama import make_kv_cache
 from groma_tpu.models.llama_quant import (quant_llama_forward,
                                           quant_llama_logits,
                                           quantize_llama_params)
-from groma_tpu.ops.quant import quantize_weight
+
 
 
 def quantize_groma_llm(params: dict, cfg: GromaConfig) -> dict:

@@ -9,7 +9,7 @@ torch.distributed.reduce (reference: eval_rec.py:122-131).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterable, Optional
 
 import numpy as np

@@ -46,7 +46,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from groma_tpu.constants import DEFAULT_TOKENS
+
     from groma_tpu.data.conversation import conv_templates
     from groma_tpu.data.datasets.base import (VLDataSpec,
                                               intro_conversation)
@@ -55,7 +55,7 @@ def main():
     from groma_tpu.data.tokenizer import load_tokenizer
     from groma_tpu.checkpoint.loader import load_groma
     from groma_tpu.eval.generate import Generator, parse_region_tokens
-    from groma_tpu.models.groma import GromaModel
+
 
     model, params, cfg = load_groma(args.model_dir,
                                     dtype='bfloat16' if args.quant_type

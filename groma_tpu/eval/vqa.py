@@ -11,7 +11,7 @@ score summary match the reference protocol.
 from __future__ import annotations
 
 import json
-from typing import Callable, Dict, Iterable, List, Optional
+from typing import Callable, Dict, Iterable, List
 
 import numpy as np
 

@@ -29,7 +29,7 @@ lets every shape be static.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from groma_tpu.ops.flash_attention import flash_attention, mha_reference
+from groma_tpu.ops.flash_attention import flash_attention
 
 
 class MLP(nn.Module):

@@ -19,7 +19,7 @@ TPU-first design:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

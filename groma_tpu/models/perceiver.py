@@ -12,7 +12,7 @@ LayerNorm.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -42,7 +42,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from groma_tpu.config import PerceiverConfig
+
 from groma_tpu.ops.roi_align import roi_align_batched
 
 

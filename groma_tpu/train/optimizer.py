@@ -14,7 +14,7 @@ Reproduces:
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import optax

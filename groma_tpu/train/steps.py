@@ -8,14 +8,14 @@ collectives) — replacing the reference's HF-Trainer DDP/FSDP loops
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
 
-from groma_tpu.config import DDETRConfig, GromaConfig
+from groma_tpu.config import DDETRConfig
 from groma_tpu.models.ddetr_loss import ddetr_loss
 
 

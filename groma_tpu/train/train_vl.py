@@ -61,11 +61,11 @@ def compose_model(args):
 
     from groma_tpu.checkpoint.loader import (hf_groma_config, load_groma,
                                              _dummy_batch)
-    from groma_tpu.checkpoint.hf_import import (import_dinov2, import_llama,
+    from groma_tpu.checkpoint.hf_import import (import_llama,
                                                 import_perceiver,
                                                 load_state_dict,
                                                 load_config_json)
-    from groma_tpu.config import GromaConfig
+
     from groma_tpu.models.groma import GromaModel
 
     if args.model_name_or_path:
