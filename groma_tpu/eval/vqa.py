@@ -20,6 +20,15 @@ from groma_tpu.data.datasets.base import VLDataSpec, intro_conversation
 from groma_tpu.data.tokenization import expand_template
 from groma_tpu.eval.generate import Generator
 
+RULE_PATH = __file__.rsplit('/', 1)[0] + '/table/rule.json'
+
+
+def load_rules() -> dict:
+    """Per-category judge rules (reference: groma/eval/table/rule.json)."""
+    with open(RULE_PATH) as f:
+        return json.load(f)
+
+
 JUDGE_SYSTEM = (
     'You are a helpful and precise assistant for checking the quality of '
     'the answer.')
