@@ -142,12 +142,15 @@ def import_dinov2(sd: Dict[str, np.ndarray], num_layers: int,
         params[f'layer_{i}'] = {
             'norm1': {'scale': g(p + 'norm1.weight'),
                       'bias': g(p + 'norm1.bias')},
-            'q': {'kernel': g(p + 'attention.attention.query.weight').T,
-                  'bias': g(p + 'attention.attention.query.bias')},
-            'k': {'kernel': g(p + 'attention.attention.key.weight').T,
-                  'bias': g(p + 'attention.attention.key.bias')},
-            'v': {'kernel': g(p + 'attention.attention.value.weight').T,
-                  'bias': g(p + 'attention.attention.value.bias')},
+            'qkv': {'kernel': np.concatenate(
+                        [g(p + 'attention.attention.query.weight').T,
+                         g(p + 'attention.attention.key.weight').T,
+                         g(p + 'attention.attention.value.weight').T],
+                        axis=1),
+                    'bias': np.concatenate(
+                        [g(p + 'attention.attention.query.bias'),
+                         g(p + 'attention.attention.key.bias'),
+                         g(p + 'attention.attention.value.bias')])},
             'attn_out': {'kernel': g(p + 'attention.output.dense.weight').T,
                          'bias': g(p + 'attention.output.dense.bias')},
             'layerscale1': g(p + 'layer_scale1.lambda1'),

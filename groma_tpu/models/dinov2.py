@@ -35,9 +35,10 @@ class Dinov2Layer(nn.Module):
         c = self.cfg
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          name='norm1')(x)
-        q = nn.Dense(c.hidden_size, dtype=self.dtype, name='q')(h)
-        k = nn.Dense(c.hidden_size, dtype=self.dtype, name='k')(h)
-        v = nn.Dense(c.hidden_size, dtype=self.dtype, name='v')(h)
+        # fused qkv: one (D, 3D) GEMM instead of three (importer concats
+        # the HF q/k/v kernels)
+        qkv = nn.Dense(3 * c.hidden_size, dtype=self.dtype, name='qkv')(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         attn = multi_head_attention(q, k, v, c.num_heads, use_flash=use_flash)
         attn = nn.Dense(c.hidden_size, dtype=self.dtype, name='attn_out')(attn)
         ls1 = self.param('layerscale1', nn.initializers.constant(
