@@ -106,8 +106,15 @@ class ConversationDatasetMixin:
         self.tokenizer = tokenizer
         self.conv_temp = conv_templates[conv_temp]
         self.spec = spec
-        self.rng = np.random.default_rng(seed)
-        self.pyrng = random.Random(seed)
+        self.seed = seed
+
+    def sample_rngs(self, idx: int):
+        """Per-sample deterministic RNGs — safe under the threaded loader
+        (a shared numpy Generator is not thread-safe) and independent of
+        access order (multi-host determinism)."""
+        rng = np.random.default_rng((self.seed, idx))
+        pyrng = random.Random((self.seed << 32) | idx)
+        return rng, pyrng
 
     def build_sample(self, task_rounds: Sequence[Tuple[str, str]],
                      image: np.ndarray, source: str,

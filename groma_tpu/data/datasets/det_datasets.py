@@ -28,7 +28,7 @@ class ClassAgnosticCoco:
         self.coco = CocoIndex(ann_file)
         self.img_prefix = img_prefix
         self.max_boxes = max_boxes
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.pipeline = DetPipeline(image_size=image_size,
                                     area_filter=self.area_filter)
         self.img_ids = [i for i in self.coco.get_img_ids()
@@ -38,6 +38,7 @@ class ClassAgnosticCoco:
         return len(self.img_ids)
 
     def __getitem__(self, idx):
+        rng = np.random.default_rng((self.seed, idx))
         info = self.coco.load_img(self.img_ids[idx])
         img = load_image(os.path.join(self.img_prefix, info['file_name']))
         boxes = []
@@ -50,7 +51,7 @@ class ClassAgnosticCoco:
             boxes.append([x, y, x + w, y + h])
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         labels = np.zeros(len(boxes), np.int32)        # class-agnostic
-        img, boxes, labels = self.pipeline(img, boxes, labels, self.rng)
+        img, boxes, labels = self.pipeline(img, boxes, labels, rng)
         norm = xyxy_to_norm_cxcywh(boxes, img.shape[:2])
 
         cap = self.max_boxes

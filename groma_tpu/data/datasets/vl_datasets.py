@@ -104,7 +104,9 @@ class CocoVLBase(ConversationDatasetMixin):
         return len(self.img_ids)
 
     def _load(self, idx):
-        """image (normalized), boxes xyxy in 448-space, raw anns, info."""
+        """image (normalized), boxes xyxy in 448-space, raw anns, info,
+        and the per-sample RNG pair."""
+        rng, pyrng = self.sample_rngs(idx)
         info = self.coco.load_img(self.img_ids[idx])
         img = load_image(os.path.join(self.img_prefix, info['file_name']))
         anns = [a for a in self.coco.get_anns(self.img_ids[idx])
@@ -117,8 +119,8 @@ class CocoVLBase(ConversationDatasetMixin):
             boxes.append([x, y, x + w, y + h])
             kept.append(a)
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
-        img, boxes, kept = self.pipeline(img, boxes, kept, self.rng)
-        return img, boxes, kept, info
+        img, boxes, kept = self.pipeline(img, boxes, kept, rng)
+        return img, boxes, kept, info, pyrng
 
 
 class RefCOCO(CocoVLBase):
@@ -126,10 +128,10 @@ class RefCOCO(CocoVLBase):
     source = 'refcoco'
 
     def __getitem__(self, idx):
-        img, boxes, anns, info = self._load(idx)
+        img, boxes, anns, info, pyrng = self._load(idx)
         expr = info['caption']
         norm = xyxy_to_norm_cxcywh(boxes, img.shape[:2])
-        instruct = self.pyrng.choice(REC_INSTRUCTIONS).format(
+        instruct = pyrng.choice(REC_INSTRUCTIONS).format(
             _refexp(expr.strip()))
         rounds = [(self.conv_temp.roles[0], instruct),
                   (self.conv_temp.roles[1], _ground_answer(len(norm)))]
@@ -142,10 +144,10 @@ class RefCOCOCap(CocoVLBase):
     source = 'refcocog_cap'
 
     def __getitem__(self, idx):
-        img, boxes, anns, info = self._load(idx)
+        img, boxes, anns, info, pyrng = self._load(idx)
         caption = info['caption']
         norm = xyxy_to_norm_cxcywh(boxes, img.shape[:2])
-        instruct = self.pyrng.choice(REGION_CAP_INSTRUCTIONS).format(
+        instruct = pyrng.choice(REGION_CAP_INSTRUCTIONS).format(
             _refer_phrase())
         answer = (T['sep'] + caption.strip().lower().capitalize()
                   + T['sep'])
@@ -161,7 +163,7 @@ class Flickr30k(CocoVLBase):
     source = 'flickr30k'
 
     def __getitem__(self, idx):
-        img, boxes, anns, info = self._load(idx)
+        img, boxes, anns, info, pyrng = self._load(idx)
         caption = info['caption']
         # per-annotation tokens_positive spans; one box per span occurrence
         spans, span_boxes = [], []
@@ -192,7 +194,7 @@ class Flickr30k(CocoVLBase):
             end = e
         new_caption += caption[end:]
 
-        instruct = T['ground'] + self.pyrng.choice(CAPTION_INSTRUCTIONS)
+        instruct = T['ground'] + pyrng.choice(CAPTION_INSTRUCTIONS)
         answer = T['sep'] + new_caption.strip() + T['sep']
         rounds = [(self.conv_temp.roles[0], instruct),
                   (self.conv_temp.roles[1], answer)]
@@ -205,13 +207,13 @@ class SingleRoundVG(CocoVLBase):
     source = 'vg'
 
     def __getitem__(self, idx):
-        img, boxes, anns, info = self._load(idx)
+        img, boxes, anns, info, pyrng = self._load(idx)
         if len(boxes) == 0:
             return self.__getitem__((idx + 1) % len(self))
-        k = int(self.rng.integers(len(boxes)))
+        k = int(pyrng.randrange(len(boxes)))
         caption = anns[k].get('caption', '')
         norm = xyxy_to_norm_cxcywh(boxes[k:k + 1], img.shape[:2])
-        instruct = self.pyrng.choice(REGION_CAP_INSTRUCTIONS).format(
+        instruct = pyrng.choice(REGION_CAP_INSTRUCTIONS).format(
             _refer_phrase())
         answer = (T['sep'] + caption.strip().lower().capitalize()
                   + T['sep'])
@@ -229,16 +231,16 @@ class MultiRoundsVG(CocoVLBase):
     max_gt_per_img = 10
 
     def __getitem__(self, idx):
-        img, boxes, anns, info = self._load(idx)
+        img, boxes, anns, info, pyrng = self._load(idx)
         if len(boxes) == 0:
             return self.__getitem__((idx + 1) % len(self))
         # random-score NMS dedup
-        keep = self._rand_nms(boxes, 0.6)[:self.max_gt_per_img]
+        keep = self._rand_nms(boxes, 0.6, pyrng)[:self.max_gt_per_img]
         norm = xyxy_to_norm_cxcywh(boxes[keep], img.shape[:2])
         rounds = []
         for k in keep:
             caption = anns[k].get('caption', '')
-            instruct = self.pyrng.choice(REGION_CAP_INSTRUCTIONS).format(
+            instruct = pyrng.choice(REGION_CAP_INSTRUCTIONS).format(
                 _refer_phrase())
             answer = (T['sep'] + caption.strip().lower().capitalize()
                       + T['sep'])
@@ -247,8 +249,8 @@ class MultiRoundsVG(CocoVLBase):
         return self.build_sample(rounds, img, self.source,
                                  refer_boxes=norm)
 
-    def _rand_nms(self, boxes, thr):
-        scores = self.rng.random(len(boxes))
+    def _rand_nms(self, boxes, thr, pyrng):
+        scores = np.asarray([pyrng.random() for _ in range(len(boxes))])
         order = np.argsort(-scores)
         kept = []
         for i in order:
@@ -280,17 +282,17 @@ class COCODet(CocoVLBase):
         self.cat_names = {cid: c['name'] for cid, c in self.coco.cats.items()}
 
     def __getitem__(self, idx):
-        img, boxes, anns, info = self._load(idx)
+        img, boxes, anns, info, pyrng = self._load(idx)
         if len(boxes) == 0:
             return self.__getitem__((idx + 1) % len(self))
         label2box = defaultdict(list)
         for a, b in zip(anns, boxes):
             name = self.cat_names.get(a.get('category_id'), 'object')
             label2box[name].append(b)
-        label = self.pyrng.choice(list(label2box.keys()))
+        label = pyrng.choice(list(label2box.keys()))
         sel = np.asarray(label2box[label], np.float32)
         norm = xyxy_to_norm_cxcywh(sel, img.shape[:2])
-        instruct = self.pyrng.choice(DET_INSTRUCTIONS).format(
+        instruct = pyrng.choice(DET_INSTRUCTIONS).format(
             _refexp(label))
         rounds = [(self.conv_temp.roles[0], instruct),
                   (self.conv_temp.roles[1], _ground_answer(len(norm)))]
@@ -309,17 +311,17 @@ class LVISDet(CocoVLBase):
             for cid, c in self.coco.cats.items()}
 
     def __getitem__(self, idx):
-        img, boxes, anns, info = self._load(idx)
+        img, boxes, anns, info, pyrng = self._load(idx)
         if len(boxes) == 0:
             return self.__getitem__((idx + 1) % len(self))
         label2box = defaultdict(list)
         for a, b in zip(anns, boxes):
             label2box[self.cat_names.get(a.get('category_id'),
                                          'object')].append(b)
-        label = self.pyrng.choice(list(label2box.keys()))
+        label = pyrng.choice(list(label2box.keys()))
         sel = np.asarray(label2box[label], np.float32)
         norm = xyxy_to_norm_cxcywh(sel, img.shape[:2])
-        instruct = self.pyrng.choice(DET_INSTRUCTIONS).format(
+        instruct = pyrng.choice(DET_INSTRUCTIONS).format(
             _refexp(label))
         rounds = [(self.conv_temp.roles[0], instruct),
                   (self.conv_temp.roles[1], _ground_answer(len(norm)))]
@@ -344,16 +346,17 @@ class Grit(ConversationDatasetMixin):
 
     def __getitem__(self, idx):
         item = self.meta_data[idx]
+        _, pyrng = self.sample_rngs(idx)
         try:
             img = load_image(os.path.join(self.img_prefix,
                                           item['filename']))
         except Exception:
-            return self.__getitem__(int(self.rng.integers(len(self))))
+            return self.__getitem__(pyrng.randrange(len(self)))
         from groma_tpu.data.image_pipeline import (normalize,
                                                    resize_pil_bicubic)
         img = normalize(resize_pil_bicubic(img, (self.spec.image_size,) * 2))
 
-        template = self.pyrng.choice(item['ref_exps'])
+        template = pyrng.choice(item['ref_exps'])
         caption = item['caption']
         label = caption[int(template[0]):int(template[1])]
         boxes = [template[2:6]]
@@ -366,7 +369,7 @@ class Grit(ConversationDatasetMixin):
         norm = np.stack([cx, cy, boxes[:, 2] - boxes[:, 0],
                          boxes[:, 3] - boxes[:, 1]], -1)
 
-        instruct = self.pyrng.choice(REC_INSTRUCTIONS).format(
+        instruct = pyrng.choice(REC_INSTRUCTIONS).format(
             _refexp(label.strip()))
         rounds = [(self.conv_temp.roles[0], instruct),
                   (self.conv_temp.roles[1], _ground_answer(len(norm)))]
