@@ -148,3 +148,33 @@ datasets = [
     assert len(ds.datasets[1]) == 3       # ratio 0.5 of 6
     s = ds[0]
     assert s['input_ids'].shape == (160,)
+
+
+def test_dataloader_complete_and_ordered(data_root):
+    from groma_tpu.data.datasets.vl_datasets import RefCOCO
+    from groma_tpu.data.loader import DataLoader
+    ds = RefCOCO(str(data_root / 'ann.json'), str(data_root / 'imgs'),
+                 _tok(), spec=SPEC)
+    sampler = [[0, 1], [2, 3], [4, 5]]
+    loader = DataLoader(ds, sampler, collate_vl, num_workers=3)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b['input_ids'].shape == (2, 160)
+    # deterministic across iterations (per-sample RNGs)
+    batches2 = list(loader)
+    np.testing.assert_array_equal(batches[0]['input_ids'],
+                                  batches2[0]['input_ids'])
+    np.testing.assert_allclose(batches[0]['images'],
+                               batches2[0]['images'])
+
+
+def test_moderation_hook():
+    from groma_tpu.serve import moderation
+    assert not moderation.violates_moderation('anything')   # default open
+    moderation.set_moderation_checker(lambda t: 'bad' in t)
+    assert moderation.violates_moderation('bad words')
+    assert not moderation.violates_moderation('fine')
+    moderation.set_moderation_checker(lambda t: 1 / 0)      # fails open
+    assert not moderation.violates_moderation('x')
+    moderation.set_moderation_checker(lambda t: False)       # reset
