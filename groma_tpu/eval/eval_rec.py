@@ -27,6 +27,7 @@ def main():
     ap.add_argument('--tokenizer', default=None)
     ap.add_argument('--limit', type=int, default=0,
                     help='evaluate only the first N samples (0 = all)')
+    ap.add_argument('--batch-size', type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -77,7 +78,8 @@ def main():
             yield {'image': normalize(img448), 'expr': info['caption'],
                    'gt_box': gt}
 
-    out = evaluate_rec(gen, samples(), tokenizer, spec)
+    out = evaluate_rec(gen, samples(), tokenizer, spec,
+                       batch_size=args.batch_size)
     print(json.dumps(out, indent=2))
 
 

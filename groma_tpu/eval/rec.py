@@ -109,25 +109,45 @@ class RECMetrics:
 
 def evaluate_rec(generator: Generator, samples: Iterable[dict],
                  tokenizer, spec: VLDataSpec,
-                 max_new_tokens: int = 3) -> dict:
+                 max_new_tokens: int = 3, batch_size: int = 1) -> dict:
     """samples: dicts with 'image' (H,W,3 normalized), 'expr',
-    'gt_box' normalized cxcywh."""
+    'gt_box' normalized cxcywh.
+
+    ``batch_size`` > 1 batches prompts into fixed-shape device batches —
+    the fixed-capacity token layout makes heterogeneous expressions
+    batchable (the reference evaluates one sample per step,
+    reference: eval_rec.py:65-102)."""
     import jax.numpy as jnp
     sp = tokenizer.sp
     metrics = RECMetrics()
-    for s in samples:
-        t = build_rec_prompt(s['expr'], tokenizer, spec)
+
+    def flush(group, real_n):
+        ts = [build_rec_prompt(s['expr'], tokenizer, spec) for s in group]
         tokens, vis = generator.generate(
-            jnp.asarray(s['image'][None]),
-            jnp.asarray(t['input_ids'][None]),
-            jnp.asarray(t['region_slot'][None]),
-            jnp.asarray(t['valid'][None]),
+            jnp.asarray(np.stack([s['image'] for s in group])),
+            jnp.asarray(np.stack([t['input_ids'] for t in ts])),
+            jnp.asarray(np.stack([t['region_slot'] for t in ts])),
+            jnp.asarray(np.stack([t['valid'] for t in ts])),
             max_new_tokens=max_new_tokens, eos_id=sp.eos)
-        ks = parse_region_tokens(tokens, sp.box_idx_start)[0]
-        pred = None
+        all_ks = parse_region_tokens(tokens, sp.box_idx_start)
         cap = vis['selected_mask'].shape[1]
-        if ks and ks[0] < cap and vis['selected_mask'][0, ks[0]]:
-            pred = vis['selected_boxes'][0, ks[0]]
-        metrics.update(pred, np.asarray(s['gt_box']))
+        for i in range(real_n):      # padded tail duplicates are ignored
+            ks = all_ks[i]
+            pred = None
+            if ks and ks[0] < cap and vis['selected_mask'][i, ks[0]]:
+                pred = vis['selected_boxes'][i, ks[0]]
+            metrics.update(pred, np.asarray(group[i]['gt_box']))
+
+    group = []
+    for s in samples:
+        group.append(s)
+        if len(group) == batch_size:
+            flush(group, batch_size)
+            group = []
+    if group:
+        # pad the ragged tail so only one batch shape ever compiles
+        real_n = len(group)
+        group = group + [group[-1]] * (batch_size - real_n)
+        flush(group, real_n)
     metrics.psum_across_hosts()
     return metrics.summary()

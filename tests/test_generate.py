@@ -75,3 +75,15 @@ def test_parse_region_tokens():
     start = 1000
     toks = np.array([[5, 1003, 7, 1099, 2]])
     assert parse_region_tokens(toks, start) == [[3, 99]]
+
+
+def test_rec_harness_batched(generator, rng):
+    gen, tok = generator
+    samples = [
+        {'image': rng.standard_normal((56, 56, 3)).astype(np.float32),
+         'expr': f'widget {i}',
+         'gt_box': np.array([0.5, 0.5, 0.2, 0.2], np.float32)}
+        for i in range(5)]
+    from groma_tpu.eval.rec import evaluate_rec
+    out = evaluate_rec(gen, samples, tok, SPEC, batch_size=2)
+    assert out['total'] == 5      # ragged tail padded, not double-counted
