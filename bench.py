@@ -16,13 +16,47 @@ so vs_baseline reports the raw value until an A100 number lands.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
+def _run_sub(script, args=(), timeout=1200):
+    """Run a benchmark script in a subprocess (fresh HBM) and forward its
+    JSON metric lines; failures are reported but never break the headline
+    measurement."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, script), *args],
+            capture_output=True, text=True, timeout=timeout)
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if not line.startswith('{'):
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            d.setdefault('vs_baseline', d.get('value'))
+            print(json.dumps(d), flush=True)
+        if proc.returncode != 0:
+            print(f'# {script} rc={proc.returncode}: '
+                  f'{proc.stderr.strip().splitlines()[-1][:200] if proc.stderr.strip() else ""}',
+                  file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f'# {script} timed out', file=sys.stderr)
+
+
 def main():
+    # secondary metrics first (train-step MFU/throughput, int8 decode,
+    # e2e); the driver-parsed headline (vision img/s) prints LAST
+    _run_sub('benchmarks/bench_train.py')
+    _run_sub('benchmarks/bench_decode_int8.py')
+    _run_sub('benchmarks/bench_e2e.py')
     import jax
     import jax.numpy as jnp
     try:  # persistent compile cache: big win under remote compile
@@ -79,6 +113,9 @@ def main():
     }))
     print(f'# platform={jax.devices()[0].platform} batch={batch} '
           f'iters={iters} sec/iter={sec_per_iter:.4f}', file=sys.stderr)
+    print('# vs_baseline is the raw value: the reference publishes no '
+          'throughput numbers and no A100 is reachable here (SURVEY §6)',
+          file=sys.stderr)
 
 
 if __name__ == '__main__':

@@ -24,8 +24,8 @@ def mk_layer():
     return {
       'input_layernorm': jnp.ones((H,), jnp.float32),
       'post_attention_layernorm': jnp.ones((H,), jnp.float32),
-      'q_proj': mk_q((H, H)), 'k_proj': mk_q((H, H)), 'v_proj': mk_q((H, H)), 'o_proj': mk_q((H, H)),
-      'gate_proj': mk_q((H, I)), 'up_proj': mk_q((H, I)), 'down_proj': mk_q((I, H)),
+      'qkv_proj': mk_q((H, 3 * H)), 'o_proj': mk_q((H, H)),
+      'gate_up_proj': mk_q((H, 2 * I)), 'down_proj': mk_q((I, H)),
     }
 qp = {'layers': [mk_layer() for _ in range(L)], 'norm': jnp.ones((H,), jnp.float32),
       'embed_tokens': jnp.full((V, H), 0.01, jnp.bfloat16), 'lm_head': mk_q((H, V))}

@@ -1,0 +1,182 @@
+"""Training-step performance: vl_finetune-shaped LLM step + det pretrain.
+
+The reference's dominant workload is training
+(reference: scripts/vl_finetune.sh — 7B LLM CE over 2048-token grounded
+streams under FSDP; scripts/det_pretrain.sh — DDETR det pretraining).
+This benchmark measures single-chip trainstep throughput and MFU:
+
+* ``vl``: the LLaMA-7B-shaped CE train step (4096 hidden, 11008 ffn,
+  32114 extended vocab, seq 2048, bf16 compute, fp32 AdamW, full remat).
+  A 16 GB v5e chip cannot hold 32 layers of fp32 Adam state, so depth is
+  scaled to what fits (params+grads+moments ~= 16 B/param); MFU and
+  tokens/s/chip are per-layer quantities that transfer to the full model
+  under FSDP, and the extrapolated 32-layer number is printed alongside.
+* ``det``: the full-scale det-pretrain step (frozen DINOv2-L -> conv
+  pyramid -> DDETR two-stage + Hungarian focal/L1/GIoU losses) at the
+  reference's per-GPU batch (det_pretrain.sh).
+
+FLOPs are taken from XLA's own cost model on the compiled step
+(``compiled.cost_analysis()['flops']``), not an analytic guess; peak is
+the v5e bf16 MXU rate.  Timing fetches the loss scalar every step, which
+defeats result caching in remote-execution tunnels.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PEAK_FLOPS = {'v5e': 197e12, 'v4': 275e12, 'v5p': 459e12}
+
+
+def _peak():
+    gen = os.environ.get('PALLAS_AXON_TPU_GEN', 'v5e')
+    return PEAK_FLOPS.get(gen, 197e12)
+
+
+def _emit(metric, value, unit, note=''):
+    print(json.dumps({'metric': metric, 'value': round(float(value), 3),
+                      'unit': unit, 'vs_baseline': round(float(value), 3)}))
+    if note:
+        print(f'# {note}', file=sys.stderr)
+
+
+def bench_vl(layers=None, batch=None, seq=2048, steps=4):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from groma_tpu.config import LlamaConfig
+    from groma_tpu.models.llama import LlamaForCausalLM
+    from groma_tpu.train.optimizer import make_adamw
+    from groma_tpu.train.steps import TrainState
+
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    if layers is None:
+        layers, batch, seq, steps = (2, 2, 2048, 4) if on_tpu \
+            else (2, 1, 128, 2)
+    cfg = LlamaConfig(vocab_size=32114, num_layers=layers,
+                      dtype='bfloat16' if on_tpu else 'float32') \
+        if on_tpu else LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, num_kv_heads=4, dtype='float32')
+    model = LlamaForCausalLM(cfg, remat=True)
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq)))
+    labels = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq)))
+
+    params = jax.jit(lambda i: model.init(jax.random.PRNGKey(0), i))(
+        ids[:, :8])['params']
+    # re-init at full seq shapes is not needed (params are shape-free)
+    tx = make_adamw(1e-5, weight_decay=0.0)
+
+    def step(state, ids, labels):
+        def loss_fn(p):
+            logits, _ = model.apply({'params': p}, ids)
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+            nll = -jnp.take_along_axis(logp, labels[:, 1:, None], -1)
+            return nll.mean()
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss
+
+    state = jax.jit(lambda p: TrainState.create(p, tx))(params)
+    jit_step = jax.jit(step, donate_argnums=(0,))
+    lowered = jit_step.lower(state, ids, labels)
+    compiled = lowered.compile()
+    flops = compiled.cost_analysis().get('flops', 0.0)
+
+    state, loss = compiled(state, ids, labels)
+    float(loss)   # sync after compile+first step
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = compiled(state, ids, labels)
+        lv = float(loss)
+    dt = (time.perf_counter() - t0) / steps
+
+    toks = batch * seq / dt
+    mfu = flops / dt / _peak() if flops else 0.0
+    _emit('vl_train_step_mfu', mfu * 100, 'percent-of-peak',
+          f'vl train: layers={layers} batch={batch} seq={seq} '
+          f'{dt * 1000:.0f} ms/step {toks:.0f} tok/s loss={lv:.3f} '
+          f'xla_flops={flops:.3g}')
+    _emit('vl_train_tokens_per_sec', toks, 'tokens/sec/chip',
+          f'extrapolated 32-layer 7B: ~{toks * layers / 32:.0f} tok/s/chip '
+          f'(flops-proportional)')
+    return mfu
+
+
+def bench_det(batch=None, steps=3):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from groma_tpu.config import (DDETRConfig, PerceiverConfig, ViTConfig)
+    from groma_tpu.models.perceiver import Perceiver
+    from groma_tpu.train.optimizer import (det_lr_mult_rules,
+                                           freeze_predicate, make_adamw)
+    from groma_tpu.train.steps import TrainState, make_det_train_step
+
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    if on_tpu:
+        cfg = PerceiverConfig(vit=ViTConfig(dtype='bfloat16'),
+                              ddetr=DDETRConfig(dtype='bfloat16'),
+                              image_size=448)
+        batch = batch or 8
+    else:
+        from __graft_entry__ import _small_cfg
+        cfg = _small_cfg().perceiver
+        batch = batch or 2
+        steps = 2
+
+    model = Perceiver(cfg)
+    img = cfg.image_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((batch, img, img, 3)),
+                         jnp.float32)
+    T = 20
+    targets = {
+        'class_labels': jnp.zeros((batch, T), jnp.int32),
+        'boxes': jnp.asarray(rng.uniform(0.2, 0.6, (batch, T, 4)),
+                             jnp.float32),
+        'valid': jnp.asarray(rng.random((batch, T)) < 0.7),
+    }
+
+    params = jax.jit(lambda im: model.init(jax.random.PRNGKey(0), im))(
+        images[:1])['params']
+    tx = make_adamw(2e-4, weight_decay=1e-4,
+                    lr_mult_rules=det_lr_mult_rules(0.1),
+                    frozen_pred=freeze_predicate(freeze_vis_encoder=True))
+    # the remote-execution tunnel has no host callbacks -> on-device
+    # auction matcher (exact scipy LSA is the default on real pods)
+    step = make_det_train_step(model, cfg.ddetr, tx, source='coco',
+                               matcher='auction' if on_tpu else 'hungarian')
+    state = jax.jit(lambda p: TrainState.create(p, tx))(params)
+    jit_step = jax.jit(step, donate_argnums=(0,))
+
+    state, losses = jit_step(state, {'images': images, 'targets': targets})
+    float(losses['loss'])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, losses = jit_step(state,
+                                 {'images': images, 'targets': targets})
+        lv = float(losses['loss'])
+    dt = (time.perf_counter() - t0) / steps
+    _emit('det_train_images_per_sec', batch / dt, 'images/sec/chip',
+          f'det train: batch={batch} {dt * 1000:.0f} ms/step loss={lv:.3f}')
+    return batch / dt
+
+
+if __name__ == '__main__':
+    which = sys.argv[1] if len(sys.argv) > 1 else 'all'
+    if which in ('all', 'vl'):
+        bench_vl()
+    if which in ('all', 'det'):
+        bench_det()

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import importlib.util
 import math
+import os
 from typing import List, Sequence
 
 import numpy as np
@@ -96,11 +97,43 @@ class ConcatDataset:
         return getattr(self.datasets[k], 'source', f'ds{k}')
 
 
+def _merge_cfg(base: dict, override: dict) -> dict:
+    """mmcv Config merge semantics: override wins; dicts merge recursively
+    unless the override dict carries ``_delete_: True``
+    (reference: mmcv/mmcv/utils/config.py:70 _merge_a_into_b)."""
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict) \
+                and not v.pop('_delete_', False):
+            out[k] = _merge_cfg(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def load_config(cfg_file: str) -> dict:
+    """Python-file config loader with mmcv ``_base_`` inheritance
+    (reference: mmcv/mmcv/utils/config.py:70 Config.fromfile)."""
     spec = importlib.util.spec_from_file_location('dataset_config', cfg_file)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return {k: v for k, v in vars(mod).items() if not k.startswith('_')}
+    cfg = {k: v for k, v in vars(mod).items() if not k.startswith('_')}
+
+    bases = getattr(mod, '_base_', None)
+    if bases:
+        if isinstance(bases, str):
+            bases = [bases]
+        merged: dict = {}
+        for b in bases:
+            bpath = os.path.join(os.path.dirname(
+                os.path.abspath(cfg_file)), b)
+            base_cfg = load_config(bpath)
+            dup = set(merged) & set(base_cfg)
+            if dup:
+                raise KeyError(f'duplicate keys in _base_ files: {dup}')
+            merged.update(base_cfg)
+        cfg = _merge_cfg(merged, cfg)
+    return cfg
 
 
 def build_dataset(cfg: dict, **common):

@@ -105,12 +105,65 @@ def bleu(candidates: Dict[str, str], references: Dict[str, List[str]],
     return out
 
 
+def _meteor_align(cand: List[str], ref: List[str]):
+    """One-to-one exact-match alignment (leftmost-first), as in the
+    exact-match stage of METEOR/NLTK.  Returns (pairs, m)."""
+    used_ref = [False] * len(ref)
+    pairs = []
+    for ci, w in enumerate(cand):
+        for ri, rw in enumerate(ref):
+            if not used_ref[ri] and rw == w:
+                used_ref[ri] = True
+                pairs.append((ci, ri))
+                break
+    return pairs, len(pairs)
+
+
+def meteor(candidates: Dict[str, str],
+           references: Dict[str, List[str]],
+           alpha: float = 0.9, beta: float = 3.0,
+           gamma: float = 0.5) -> float:
+    """METEOR-lite: the exact-match METEOR formulation
+    (reference metric surface: groma/eval/eval_cap.py:61 via
+    pycocoevalcap.meteor — the Java jar + WordNet synonym data are
+    unavailable offline, so the stem/synonym match stages are omitted;
+    the harmonic-mean + fragmentation-penalty scoring is the original
+    Banerjee & Lavie formulation, max over references)."""
+    total = 0.0
+    for i, cand_s in candidates.items():
+        cand = _tokenize(cand_s)
+        best = 0.0
+        for ref_s in references[i]:
+            ref = _tokenize(ref_s)
+            if not cand or not ref:
+                continue
+            pairs, m = _meteor_align(cand, ref)
+            if m == 0:
+                continue
+            p = m / len(cand)
+            r = m / len(ref)
+            f_mean = p * r / (alpha * p + (1 - alpha) * r)
+            # fragmentation: contiguous-in-both runs of the alignment
+            pairs.sort()
+            chunks = 1
+            for (c0, r0), (c1, r1) in zip(pairs, pairs[1:]):
+                if not (c1 == c0 + 1 and r1 == r0 + 1):
+                    chunks += 1
+            frag = chunks / m
+            score = f_mean * (1.0 - gamma * frag ** beta)
+            best = max(best, score)
+        total += best
+    return total / max(len(candidates), 1)
+
+
 def score_captions(candidates: Dict[str, str],
                    references: Dict[str, List[str]]) -> dict:
-    """The eval_cap.py-equivalent summary."""
+    """The eval_cap.py-equivalent summary
+    (reference: groma/eval/eval_cap.py:61)."""
     b = bleu(candidates, references)
     return {
         'CIDEr': cider_d(candidates, references),
         'BLEU-1': b[0], 'BLEU-4': b[3],
+        'METEOR': meteor(candidates, references),
         'num': len(candidates),
     }

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from groma_tpu.config import DDETRConfig
 from groma_tpu.ops.bbox import cxcywh_to_xyxy, generalized_box_iou
-from groma_tpu.ops.matcher import hungarian_match
+from groma_tpu.ops.matcher import auction_match, hungarian_match
 
 
 def _matcher_cost(logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid,
@@ -50,14 +50,15 @@ def _matcher_cost(logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid,
 
 
 def _single_stage_loss(logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid,
-                       num_boxes, cfg: DDETRConfig):
+                       num_boxes, cfg: DDETRConfig, matcher='hungarian'):
     """loss_ce / loss_bbox / loss_giou for one prediction set."""
     b, q, ncls = logits.shape
     cost = _matcher_cost(logits, pred_boxes, tgt_labels, tgt_boxes,
                          tgt_valid, cfg, alpha=cfg.focal_alpha)
     # matching is a non-differentiable decision (reference: @torch.no_grad
     # on the HF matcher)
-    assign = hungarian_match(jax.lax.stop_gradient(cost), tgt_valid)
+    match_fn = hungarian_match if matcher == 'hungarian' else auction_match
+    assign = match_fn(jax.lax.stop_gradient(cost), tgt_valid)
     assign_safe = jnp.maximum(assign, 0)
 
     # ----- focal classification loss (HF sigmoid_focal_loss semantics:
@@ -102,7 +103,7 @@ def _single_stage_loss(logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid,
 
 
 def ddetr_loss(outputs: Dict, targets: Dict, cfg: DDETRConfig,
-               source: str) -> Dict[str, jnp.ndarray]:
+               source: str, matcher: str = 'hungarian') -> Dict[str, jnp.ndarray]:
     """Total det loss.
 
     Args:
@@ -111,6 +112,9 @@ def ddetr_loss(outputs: Dict, targets: Dict, cfg: DDETRConfig,
                 'valid': (B,T) bool}.
       source: 'coco' | 'sa1b' — selects the objectness head supervised this
         step (single-source batches, reference: groma/data/collator.py:47).
+      matcher: 'hungarian' (exact, scipy host callback) or 'auction'
+        (fully on-device; required on backends without host callbacks,
+        e.g. remote-execution tunnels).
     """
     tgt_labels = targets['class_labels']
     tgt_boxes = targets['boxes'].astype(jnp.float32)
@@ -120,14 +124,14 @@ def ddetr_loss(outputs: Dict, targets: Dict, cfg: DDETRConfig,
     loss_dict = {}
     final = _single_stage_loss(outputs['logits'][source],
                                outputs['pred_boxes'], tgt_labels, tgt_boxes,
-                               tgt_valid, num_boxes, cfg)
+                               tgt_valid, num_boxes, cfg, matcher)
     loss_dict.update(final)
 
     if cfg.auxiliary_loss:
         for i, (lg, bx) in enumerate(zip(outputs['aux'][source],
                                          outputs['aux']['boxes'])):
             aux = _single_stage_loss(lg, bx, tgt_labels, tgt_boxes,
-                                     tgt_valid, num_boxes, cfg)
+                                     tgt_valid, num_boxes, cfg, matcher)
             loss_dict.update({f'{k}_{i}': v for k, v in aux.items()})
 
     if cfg.two_stage:
@@ -135,7 +139,7 @@ def ddetr_loss(outputs: Dict, targets: Dict, cfg: DDETRConfig,
         enc = _single_stage_loss(outputs['enc_outputs_class'],
                                  outputs['enc_outputs_coord'],
                                  jnp.zeros_like(tgt_labels), tgt_boxes,
-                                 tgt_valid, num_boxes, cfg)
+                                 tgt_valid, num_boxes, cfg, matcher)
         loss_dict.update({f'{k}_enc': v for k, v in enc.items()})
 
     weights = {'loss_ce': cfg.cls_loss_coefficient,

@@ -192,7 +192,8 @@ class LlamaModel(nn.Module):
         new_k, new_v = [], []
         layer_cls = LlamaLayer
         if self.remat:
-            layer_cls = nn.remat(LlamaLayer, static_argnums=(6,),
+            # static_argnums counts self as 0: use_flash is positional 7
+            layer_cls = nn.remat(LlamaLayer, static_argnums=(7,),
                                  prevent_cse=False)
         for i in range(c.num_layers):
             cache_kv = None
@@ -220,6 +221,7 @@ class LlamaModel(nn.Module):
 
 class LlamaForCausalLM(nn.Module):
     cfg: LlamaConfig
+    remat: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attn_mask=None, position_ids=None,
@@ -234,7 +236,7 @@ class LlamaForCausalLM(nn.Module):
             attn_mask = jnp.ones((b, s), bool)
         if position_ids is None:
             position_ids = jnp.cumsum(attn_mask, axis=-1) - 1
-        h, new_cache = LlamaModel(c, name='model')(
+        h, new_cache = LlamaModel(c, remat=self.remat, name='model')(
             x, attn_mask, position_ids, cache, use_flash)
         logits = nn.Dense(c.vocab_size, use_bias=False, dtype=dtype,
                           name='lm_head')(h)

@@ -84,7 +84,11 @@ def nms(boxes: jnp.ndarray,
     # Compact kept positions to the front, preserving descending-score order.
     front = jnp.argsort(jnp.logical_not(keep), stable=True)
     num_kept = jnp.sum(keep)
-    keep_idx = order[front][:max_num].astype(jnp.int32)
+    keep_idx = order[front].astype(jnp.int32)
+    if n >= max_num:
+        keep_idx = keep_idx[:max_num]
+    else:   # capacity exceeds the candidate pool: pad the index buffer
+        keep_idx = jnp.pad(keep_idx, (0, max_num - n))
     rank = jax.lax.broadcasted_iota(jnp.int32, (max_num,), 0)
     keep_mask = rank < jnp.minimum(num_kept, max_num)
     keep_idx = jnp.where(keep_mask, keep_idx, 0)

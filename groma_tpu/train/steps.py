@@ -63,18 +63,21 @@ def make_vl_train_step(model, tx, use_flash: bool = False,
 
 
 def make_det_train_step(perceiver, ddetr_cfg: DDETRConfig, tx,
-                        source: str) -> Callable:
+                        source: str, matcher: str = 'hungarian') -> Callable:
     """Det-stage step: Hungarian-matched focal/L1/GIoU losses.
 
     ``source`` is static ('coco' | 'sa1b') because every global batch is
     single-source (reference: groma/train/groma_trainer.py:14-59
-    RandomBatchSampler + groma/data/collator.py:47)."""
+    RandomBatchSampler + groma/data/collator.py:47).  ``matcher`` selects
+    exact scipy LSA (host callback) or the on-device auction (required on
+    backends without host callbacks)."""
 
     def step(state: TrainState, batch: dict):
         def loss_fn(params):
             out = perceiver.apply({'params': params}, batch['images'],
                                   deterministic=True)
-            losses = ddetr_loss(out, batch['targets'], ddetr_cfg, source)
+            losses = ddetr_loss(out, batch['targets'], ddetr_cfg, source,
+                                matcher=matcher)
             return losses['loss'], losses
 
         (loss, losses), grads = jax.value_and_grad(

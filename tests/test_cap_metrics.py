@@ -1,0 +1,68 @@
+"""Caption metrics (CIDEr-D / BLEU / METEOR-lite) sanity + hand goldens
+(reference metric surface: groma/eval/eval_cap.py:61 pycocoevalcap)."""
+
+import math
+
+import pytest
+
+from groma_tpu.eval.cap import bleu, cider_d, meteor, score_captions
+
+
+CANDS = {'a': 'a cat sits on the mat', 'b': 'dog runs in the park'}
+REFS = {'a': ['a cat sits on the mat', 'the cat is on the mat'],
+        'b': ['a bird flies over the sea']}
+
+
+def test_bleu_perfect_match_is_one():
+    b = bleu({'x': 'the quick brown fox jumps'},
+             {'x': ['the quick brown fox jumps']})
+    assert all(abs(v - 1.0) < 1e-9 for v in b)
+
+
+def test_meteor_perfect_match_hand_golden():
+    # m=6 matches, 1 chunk -> penalty 0.5*(1/6)^3, F_mean=1
+    got = meteor({'x': 'the cat sat on the mat'},
+                 {'x': ['the cat sat on the mat']})
+    want = 1.0 * (1.0 - 0.5 * (1.0 / 6.0) ** 3)
+    assert abs(got - want) < 1e-9
+
+
+def test_meteor_hand_golden_partial():
+    # cand: "the cat sat" vs ref: "the cat is on the mat"
+    # exact matches: the->0, cat->1, sat->none  => m=2, one chunk
+    # P=2/3, R=2/6, F=PR/(0.9P+0.1R)=...
+    p, r = 2 / 3, 2 / 6
+    f = p * r / (0.9 * p + 0.1 * r)
+    want = f * (1 - 0.5 * (1 / 2) ** 3)
+    got = meteor({'x': 'the cat sat'}, {'x': ['the cat is on the mat']})
+    assert abs(got - want) < 1e-9
+
+
+def test_meteor_fragmentation_penalty_orders():
+    # same unigram matches, different order -> more chunks -> lower score
+    contiguous = meteor({'x': 'a b c d'}, {'x': ['a b c d']})
+    scrambled = meteor({'x': 'a c b d'}, {'x': ['a b c d']})
+    assert contiguous > scrambled > 0
+
+
+def test_meteor_no_match_is_zero():
+    assert meteor({'x': 'xyz qrs'}, {'x': ['abc def']}) == 0.0
+
+
+def test_cider_orders_quality():
+    # corpus-level: idf needs >1 image (log N(images) / df)
+    good = cider_d(CANDS, REFS)
+    bad = cider_d({'a': 'completely unrelated words here',
+                   'b': 'zig zag zog'}, REFS)
+    assert good > bad >= 0.0
+
+
+def test_score_captions_has_all_metrics():
+    out = score_captions(CANDS, REFS)
+    assert set(out) >= {'CIDEr', 'BLEU-1', 'BLEU-4', 'METEOR', 'num'}
+    assert out['num'] == 2
+    assert 0.0 <= out['METEOR'] <= 1.0
+
+
+def test_meteor_empty_candidate():
+    assert meteor({'x': ''}, {'x': ['a b']}) == 0.0

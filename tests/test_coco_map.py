@@ -91,3 +91,77 @@ def test_det_post_process_and_eval(rng):
                 'gt': [(0, np.array([10., 10., 30., 30.]))]}]
     out = evaluate_detector(apply, params, samples, top_k=8)
     assert 'AP' in out and 0.0 <= out['AP'] <= 1.0
+
+
+def test_crowd_gts_ignore_extra_matches():
+    """Crowd GTs absorb any number of dets without generating FPs
+    (pycocotools iscrowd semantics: inter/det-area IoU, re-matchable,
+    matches ignored)."""
+    ev = DetectionEvaluator()
+    ev.add_ground_truth(1, 1, [0, 0, 10, 10])
+    ev.add_ground_truth(1, 1, [20, 20, 40, 40], iscrowd=True)
+    ev.add_detection(1, 1, [0, 0, 10, 10], 0.9)        # TP
+    ev.add_detection(1, 1, [20, 20, 30, 30], 0.8)      # inside crowd
+    ev.add_detection(1, 1, [22, 22, 32, 32], 0.7)      # inside crowd too
+    out = ev.summarize()
+    assert out['AP'] == 1.0      # crowd matches are neither TP nor FP
+
+    # control: without the crowd flag the two extra dets are FPs
+    ev2 = DetectionEvaluator()
+    ev2.add_ground_truth(1, 1, [0, 0, 10, 10])
+    ev2.add_ground_truth(1, 1, [20, 20, 40, 40])
+    ev2.add_detection(1, 1, [0, 0, 10, 10], 0.9)
+    ev2.add_detection(1, 1, [20, 20, 30, 30], 0.8)
+    ev2.add_detection(1, 1, [22, 22, 32, 32], 0.7)
+    assert ev2.summarize()['AP'] < 1.0
+
+
+def test_area_range_buckets():
+    ev = DetectionEvaluator()
+    ev.add_ground_truth(1, 1, [0, 0, 10, 10])          # area 100: small
+    ev.add_ground_truth(1, 1, [50, 50, 250, 250])      # area 40000: large
+    ev.add_detection(1, 1, [0, 0, 10, 10], 0.9)
+    ev.add_detection(1, 1, [50, 50, 250, 250], 0.8)
+    out = ev.summarize()
+    assert out['AP'] == 1.0
+    assert out['AP_small'] == 1.0     # large det ignore-matches, no FP
+    assert out['AP_large'] == 1.0
+    assert out['AP_medium'] == -1.0   # no GT in range (pycocotools -1)
+
+
+def test_out_of_range_unmatched_det_is_ignored_in_bucket():
+    """An unmatched det outside the area range is dropped from that
+    bucket's scoring but is a real FP in the 'all' range."""
+    ev = DetectionEvaluator()
+    ev.add_ground_truth(1, 1, [0, 0, 10, 10])
+    ev.add_detection(1, 1, [0, 0, 10, 10], 0.9)
+    ev.add_detection(1, 1, [100, 100, 300, 300], 0.95)   # big unmatched
+    out = ev.summarize()
+    assert out['AP_small'] == 1.0
+    assert out['AP'] < 1.0
+
+
+def test_max_dets_truncation():
+    ev = DetectionEvaluator(max_dets=1)
+    ev.add_ground_truth(1, 1, [0, 0, 10, 10])
+    ev.add_detection(1, 1, [50, 50, 60, 60], 0.9)  # kept (highest score)
+    ev.add_detection(1, 1, [0, 0, 10, 10], 0.8)    # truncated away
+    assert ev.summarize()['AP'] == 0.0
+
+    ev2 = DetectionEvaluator(max_dets=100)
+    ev2.add_ground_truth(1, 1, [0, 0, 10, 10])
+    ev2.add_detection(1, 1, [50, 50, 60, 60], 0.9)
+    ev2.add_detection(1, 1, [0, 0, 10, 10], 0.8)
+    # miss at rank 1, hit at rank 2: 101-pt interp AP = 0.5
+    assert abs(ev2.summarize()['AP'] - 0.5) < 1e-9
+
+
+def test_crowd_iou_uses_det_area():
+    """A det fully inside a much larger crowd region still matches
+    (inter/det-area = 1), even though classic IoU would be tiny."""
+    ev = DetectionEvaluator()
+    ev.add_ground_truth(1, 1, [0, 0, 100, 100], iscrowd=True)
+    ev.add_ground_truth(1, 1, [200, 200, 210, 210])
+    ev.add_detection(1, 1, [10, 10, 20, 20], 0.9)   # classic IoU 0.01
+    ev.add_detection(1, 1, [200, 200, 210, 210], 0.8)
+    assert ev.summarize()['AP'] == 1.0

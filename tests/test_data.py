@@ -178,3 +178,22 @@ def test_moderation_hook():
     moderation.set_moderation_checker(lambda t: 1 / 0)      # fails open
     assert not moderation.violates_moderation('x')
     moderation.set_moderation_checker(lambda t: False)       # reset
+
+
+def test_config_base_inheritance(tmp_path):
+    """mmcv Config _base_ semantics: base loaded first, child overrides,
+    dicts merge recursively (reference: mmcv/mmcv/utils/config.py:70)."""
+    from groma_tpu.data.build import load_config
+    (tmp_path / 'base.py').write_text(
+        "lr = 0.1\nmodel = dict(depth=6, width=256)\n")
+    (tmp_path / 'child.py').write_text(
+        "_base_ = './base.py'\nlr = 0.01\nmodel = dict(width=512)\n")
+    cfg = load_config(str(tmp_path / 'child.py'))
+    assert cfg['lr'] == 0.01
+    assert cfg['model'] == {'depth': 6, 'width': 512}
+
+    # _delete_ replaces instead of merging
+    (tmp_path / 'child2.py').write_text(
+        "_base_ = './base.py'\nmodel = dict(_delete_=True, width=1)\n")
+    cfg2 = load_config(str(tmp_path / 'child2.py'))
+    assert cfg2['model'] == {'width': 1}
