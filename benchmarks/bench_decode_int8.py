@@ -13,7 +13,7 @@ from groma_tpu.models.llama import make_kv_cache
 from groma_tpu.models.llama_quant import quant_llama_forward, quant_llama_logits
 
 cfg = LlamaConfig()
-B, PRE, STEPS, MAXLEN = 1, 512, 32, 1024
+B, PRE, STEPS, MAXLEN = 1, 512, 64, 1024
 H, I, V, L = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size, cfg.num_layers
 
 def mk_q(shape_kn):
@@ -28,7 +28,7 @@ def mk_layer():
       'gate_up_proj': mk_q((H, 2 * I)), 'down_proj': mk_q((I, H)),
     }
 qp = {'layers': [mk_layer() for _ in range(L)], 'norm': jnp.ones((H,), jnp.float32),
-      'embed_tokens': jnp.full((V, H), 0.01, jnp.bfloat16), 'lm_head': mk_q((H, V))}
+      'embed_tokens': jnp.full((V, H), 0.01, jnp.bfloat16), 'lm_head': mk_q((H, V + (-V) % 512))}
 qp = jax.jit(lambda t: t)(qp)
 
 def prefill(qp, ids):

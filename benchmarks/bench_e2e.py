@@ -1,10 +1,10 @@
 """End-to-end Groma-7B REC inference (BASELINE config 4).
 
 Image -> DINOv2-L -> DDETR proposals -> NMS top-100 -> region tokens ->
-token surgery -> Vicuna-7B prefill (~1.4k tokens) -> 3-token decode ->
-``<rK>`` -> box.  Vision runs bf16 flax; the 7B decoder runs weight-only
-int8 (models/llama_quant.py), which is what lets the whole model fit one
-16 GB v5e chip (~2.6 GB vision fp32 params + ~7 GB int8 LLM + cache).
+token surgery -> Vicuna-7B prefill (768-slot REC stream, Pallas flash) ->
+3-token decode -> ``<rK>`` -> box.  Vision runs bf16; the 7B decoder runs
+weight-only int8 (models/llama_quant.py).  Measured (round 2): 5.3 img/s
+bs1, 5.9 bs4, 6.4 bs8 on one v5e chip (round 1: 2.08 bs1, OOM bs4).
 
 The whole per-image pipeline is ONE jitted program; timing is
 seed-perturbed fetch-forced (tunnel-safe).
@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(batch=1):
     import jax
     import jax.numpy as jnp
 
@@ -48,19 +48,23 @@ def main():
         decode_steps = 2
 
     model = GromaModel(cfg)
+    # REC prompts are ~520 tokens post-surgery; a 768-slot stream (not the
+    # generic 2048) keeps prefill compute and the KV cache proportionate
+    seq_len = 768 if on_tpu else cfg.max_seq_len
     spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
                       max_region_num=cfg.max_region_num,
-                      max_seq_len=cfg.max_seq_len,
+                      max_seq_len=seq_len,
                       image_size=cfg.perceiver.image_size)
     tok = StubTokenizer(base_vocab=cfg.llm.vocab_size)
     t = build_rec_prompt('the red object on the left', tok, spec)
     img_sz = cfg.perceiver.image_size
     rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.standard_normal((1, img_sz, img_sz, 3)),
+    image = jnp.asarray(rng.standard_normal((batch, img_sz, img_sz, 3)),
                         jnp.float32)
-    ids = jnp.asarray(t['input_ids'][None])
-    slot = jnp.asarray(t['region_slot'][None])
-    valid0 = jnp.asarray(t['valid'][None])
+    import numpy as _np
+    ids = jnp.asarray(_np.stack([t['input_ids']] * batch))
+    slot = jnp.asarray(_np.stack([t['region_slot']] * batch))
+    valid0 = jnp.asarray(_np.stack([t['valid']] * batch))
 
     # vision-side params only (prepare_stream never touches the LLM)
     t0 = time.time()
@@ -68,6 +72,10 @@ def main():
         lambda im, i, s, v: model.init(jax.random.PRNGKey(0), im, i, s, v,
                                        method=GromaModel.prepare_stream)
     )(image, ids, slot, valid0)['params']
+    # bf16 param storage for inference (halves the ~2.5 GB vision tree)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, params)
     print(f'# vision init {time.time() - t0:.1f}s', file=sys.stderr)
 
     # synthetic int8 LLM weights (random real ones load the same way via
@@ -96,7 +104,7 @@ def main():
     }
     qp = jax.jit(lambda x: x)(qp)
 
-    max_len = cfg.max_seq_len + 8
+    max_len = seq_len + 8
     base = cfg.llm.vocab_size
 
     def logits_fn(qp, hidden):
@@ -112,9 +120,9 @@ def main():
             {'params': params}, image, ids, slot, valid0,
             method=GromaModel.prepare_stream)
         pos = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
-        cache = make_kv_cache(cfg.llm, 1, max_len)
+        cache = make_kv_cache(cfg.llm, batch, max_len)
         hidden, cache = quant_llama_forward(qp, cfg.llm, emb, valid, pos,
-                                            cache)
+                                            cache, use_flash=on_tpu)
         last = jnp.argmax(pos, axis=-1)
         logits = logits_fn(
             qp, jnp.take_along_axis(hidden, last[:, None, None], 1))[:, 0]
@@ -129,7 +137,8 @@ def main():
                 qp['new_input_embs'][jnp.where(is_new, tokk - base, 0)],
                 qp['embed_tokens'][jnp.where(is_new, 0, tokk)])[:, None]
             hidden, cache2 = quant_llama_forward(
-                qp, cfg.llm, embt, jnp.ones((1, 1), bool), pos0 + i, cache)
+                qp, cfg.llm, embt, jnp.ones((batch, 1), bool), pos0 + i,
+                cache)
             return (logits_fn(qp, hidden)[:, -1], cache2), tokk
 
         (_, _), toks = jax.lax.scan(step, (logits, cache),
@@ -149,13 +158,15 @@ def main():
     dt = (time.time() - t0) / n
     print(json.dumps({
         'metric': 'groma7b_e2e_rec_images_per_sec',
-        'value': round(1.0 / dt, 3),
+        'value': round(batch / dt, 3),
         'unit': 'images/sec',
-        'vs_baseline': round(1.0 / dt, 3),
+        'vs_baseline': round(batch / dt, 3),
     }))
-    print(f'# {dt * 1000:.0f} ms/image (prefill {t["valid"].sum()} tokens '
-          f'+ {decode_steps} decode steps, bs 1)', file=sys.stderr)
+    print(f'# {dt * 1000:.0f} ms/batch (prefill {t["valid"].sum()} tokens '
+          f'+ {decode_steps} decode steps, bs {batch})', file=sys.stderr)
 
 
 if __name__ == '__main__':
-    main()
+    import jax as _jax
+    _default = 8 if _jax.devices()[0].platform == 'tpu' else 1
+    main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else _default)

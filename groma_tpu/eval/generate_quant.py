@@ -22,13 +22,16 @@ from groma_tpu.models.llama_quant import (quant_llama_forward,
 
 
 
-def quantize_groma_llm(params: dict, cfg: GromaConfig) -> dict:
+def quantize_groma_llm(params: dict, cfg: GromaConfig,
+                       bits: int = 8) -> dict:
     """Quantize the LLM branch of a GromaModel param tree; embeddings and
-    the small extra head stay bf16."""
+    the small extra head stay bf16.  ``bits`` selects int8 or packed int4
+    (the reference's load_in_8bit / load_in_4bit switch,
+    reference: groma/eval/run_groma.py:43-61)."""
     qp = quantize_llama_params(
         {'model': params['llm'],
          'embed_tokens': params['embed_tokens'],
-         'lm_head': params['lm_head']}, cfg.llm)
+         'lm_head': params['lm_head']}, cfg.llm, bits=bits)
     qp['new_input_embs'] = jnp.asarray(params['new_input_embs'],
                                        jnp.bfloat16)
     qp['extra_lm_head'] = jnp.asarray(params['extra_lm_head']['kernel'],

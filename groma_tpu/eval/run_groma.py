@@ -3,9 +3,10 @@
 Loads a Groma checkpoint, runs one grounded-chat turn on an image, prints
 the answer with ``<rK>`` tokens resolved to boxes, and optionally draws the
 referenced boxes onto an output image (PIL; the reference uses the same
-box-drawing approach).  Quantization switch parity: 'none' | 'bf16' | 'int8'
-(int8 = weight-only Pallas dequant matmul, the TPU equivalent of the
-reference's bitsandbytes load_in_8bit; nf4 is future work).
+box-drawing approach).  Quantization switch parity: 'none' | 'bf16' |
+'int8' | 'int4' (weight-only Pallas dequant matmuls — the TPU equivalents
+of the reference's bitsandbytes load_in_8bit / load_in_4bit-nf4; released
+bnb-nf4 checkpoints import through the nf4 codec in ops/quant4.py).
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ def main():
     ap.add_argument('--tokenizer', default=None,
                     help='HF tokenizer path (defaults to model dir)')
     ap.add_argument('--quant_type', default='none',
-                    choices=['none', 'bf16', 'int8'])
+                    choices=['none', 'bf16', 'int8', 'int4'])
     ap.add_argument('--max-new-tokens', type=int, default=1024)
     ap.add_argument('--output-image', default='output.jpg')
     args = ap.parse_args()
@@ -79,10 +80,11 @@ def main():
     t = expand_template(ids, None, tokenizer.sp, spec.num_image_tokens,
                         spec.max_region_num, spec.max_seq_len)
 
-    if args.quant_type == 'int8':
+    if args.quant_type in ('int8', 'int4'):
         from groma_tpu.eval.generate_quant import (QuantGenerator,
                                                    quantize_groma_llm)
-        qp = quantize_groma_llm(params, cfg)
+        qp = quantize_groma_llm(params, cfg,
+                                bits=4 if args.quant_type == 'int4' else 8)
         gen = QuantGenerator(model, params, qp,
                              max_len=cfg.max_seq_len + 64)
     else:

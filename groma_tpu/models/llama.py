@@ -82,7 +82,7 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, attn_mask, cache_kv=None,
-                 cache_index=None, use_flash=False):
+                 cache_index=None, layer_idx=0, use_flash=False):
         c = self.cfg
         b, s, _ = x.shape
         hd = c.hidden_size // c.num_heads
@@ -101,31 +101,48 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, cos, sin)
 
         new_cache_kv = None
+        prefill_mode = cache_kv is not None and s > 1
         if cache_kv is not None:
+            # tiny in-place update on the (L, B, H, S, D) stacked buffers:
+            # XLA aliases the DUS on the carried cache instead of copying
+            # the whole 0.5 GB cache per step (the old per-layer unstack +
+            # restack did exactly that)
             ck, cv = cache_kv
             ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+                ck, k[None].astype(ck.dtype),
+                (layer_idx, 0, 0, cache_index, 0))
             cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
-            k, v = ck, cv
+                cv, v[None].astype(cv.dtype),
+                (layer_idx, 0, 0, cache_index, 0))
             new_cache_kv = (ck, cv)
+            if not prefill_mode:
+                k = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0,
+                                                 keepdims=False)
+                v = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0,
+                                                 keepdims=False)
 
         rep = c.num_heads // c.num_kv_heads
         if rep > 1:
             k = jnp.repeat(k, rep, axis=1)
             v = jnp.repeat(v, rep, axis=1)
 
-        if use_flash and cache_kv is None:
-            out = flash_attention(q, k, v, kv_mask=attn_mask, causal=True)
+        # prefill (s > 1 with a cache) attends over THIS call's keys only:
+        # multi-token cached forwards always start at index 0 (prefill
+        # contract), so this is exact and avoids (B, H, S, max_len)
+        # score materialization against the padded cache
+        amask = attn_mask[:, :s] if (cache_kv is None or prefill_mode) \
+            else attn_mask
+        if use_flash and (cache_kv is None or prefill_mode):
+            out = flash_attention(q, k, v, kv_mask=amask, causal=True)
         else:
             scale = hd ** -0.5
             sc = jnp.einsum('bhqd,bhkd->bhqk', q, k,
                             preferred_element_type=jnp.float32) * scale
             skv = k.shape[2]
-            sc = jnp.where(attn_mask[:, None, None, :], sc, -1e30)
+            sc = jnp.where(amask[:, None, None, :], sc, -1e30)
             qi = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 0)
             kj = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 1)
-            if cache_kv is None:
+            if cache_kv is None or prefill_mode:
                 causal_ok = kj <= qi + (skv - s)
                 sc = jnp.where(causal_ok[None, None], sc, -1e30)
             else:
@@ -149,11 +166,12 @@ class LlamaLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, attn_mask, cache_kv=None,
-                 cache_index=None, use_flash=False):
+                 cache_index=None, layer_idx=0, use_flash=False):
         c = self.cfg
         h = RMSNorm(c.rms_norm_eps, name='input_layernorm')(x)
         attn, new_cache = LlamaAttention(c, self.dtype, name='self_attn')(
-            h, cos, sin, attn_mask, cache_kv, cache_index, use_flash)
+            h, cos, sin, attn_mask, cache_kv, cache_index, layer_idx,
+            use_flash)
         x = x + attn
         h = RMSNorm(c.rms_norm_eps, name='post_attention_layernorm')(x)
         gate = nn.Dense(c.intermediate_size, use_bias=False,
@@ -189,30 +207,26 @@ class LlamaModel(nn.Module):
             kv_mask = jax.lax.dynamic_update_slice(
                 cache['mask'], attn_mask[:, :s], (0, cache['index']))
 
-        new_k, new_v = [], []
         layer_cls = LlamaLayer
         if self.remat:
-            # static_argnums counts self as 0: use_flash is positional 7
-            layer_cls = nn.remat(LlamaLayer, static_argnums=(7,),
+            # static_argnums counts self as 0: layer_idx/use_flash are
+            # positional 7/8
+            layer_cls = nn.remat(LlamaLayer, static_argnums=(7, 8),
                                  prevent_cse=False)
+        cache_kv = (cache['k'], cache['v']) if cache is not None else None
+        cache_index = cache['index'] if cache is not None else None
         for i in range(c.num_layers):
-            cache_kv = None
-            cache_index = None
-            if cache is not None:
-                cache_kv = (cache['k'][i], cache['v'][i])
-                cache_index = cache['index']
             x, updated = layer_cls(c, dtype, name=f'layers_{i}')(
-                x, cos, sin, kv_mask, cache_kv, cache_index, use_flash)
+                x, cos, sin, kv_mask, cache_kv, cache_index, i, use_flash)
             if updated is not None:
-                new_k.append(updated[0])
-                new_v.append(updated[1])
+                cache_kv = updated
         x = RMSNorm(c.rms_norm_eps, name='norm')(x)
 
         new_cache = None
         if cache is not None:
             new_cache = {
-                'k': jnp.stack(new_k),
-                'v': jnp.stack(new_v),
+                'k': cache_kv[0],
+                'v': cache_kv[1],
                 'mask': kv_mask,
                 'index': cache['index'] + inputs_embeds.shape[1],
             }

@@ -22,17 +22,33 @@ import jax.numpy as jnp
 
 from groma_tpu.config import LlamaConfig
 from groma_tpu.models.llama import apply_rope, rms_norm, rope_tables
+from groma_tpu.ops.flash_attention import flash_attention
 from groma_tpu.ops.quant import int8_matmul, quantize_weight
+from groma_tpu.ops.quant4 import INT4_BLOCK, int4_matmul, quantize_weight_int4
 
 QUANT_KERNELS = ('q_proj', 'k_proj', 'v_proj', 'o_proj',
                  'gate_proj', 'up_proj', 'down_proj')
 
 
 def quantize_llama_params(params: dict, cfg: LlamaConfig,
-                          quantize_lm_head: bool = True) -> dict:
-    """flax LlamaModel/LlamaForCausalLM-style params -> int8 pytree."""
-    def q(kernel):
-        qw, s = quantize_weight(jnp.asarray(kernel))
+                          quantize_lm_head: bool = True,
+                          bits: int = 8) -> dict:
+    """flax LlamaModel/LlamaForCausalLM-style params -> int8/int4 pytree.
+
+    ``bits=4`` packs two nibbles per byte with per-(K-block, column)
+    scales (ops/quant4.py) — the runtime format behind the reference's
+    bitsandbytes 4-bit switch (reference: groma/eval/run_groma.py:43-61);
+    the matmul dispatch keys on the stored dtype (uint8 = packed int4)."""
+    assert bits in (8, 4)
+
+    def q(kernel, pad_to=0):
+        kernel = jnp.asarray(kernel)
+        if bits == 4 and kernel.shape[0] % INT4_BLOCK == 0 \
+                and kernel.shape[0] % 2 == 0:
+            qw = quantize_weight_int4(kernel, block=INT4_BLOCK,
+                                      pad_to=pad_to)
+            return {'q': qw['q'], 'scale': qw['scale']}
+        qw, s = quantize_weight(kernel, pad_to=pad_to)
         return {'q': qw, 'scale': s.astype(jnp.float32)}
 
     model = params.get('model', params)          # accept either nesting
@@ -61,22 +77,35 @@ def quantize_llama_params(params: dict, cfg: LlamaConfig,
                                           jnp.bfloat16)
     if 'lm_head' in params:
         k = params['lm_head']['kernel']
-        out['lm_head'] = q(k) if quantize_lm_head \
+        # pad_to=512 pre-pads the ragged head (32114 -> 32256) so the
+        # kernel never re-copies 132 MB per decode step; the consumer
+        # slices logits back to the true vocab (quant_llama_logits)
+        out['lm_head'] = q(k, pad_to=512) if quantize_lm_head \
             else jnp.asarray(k, jnp.bfloat16)
     return out
 
 
 def _qmm(x, qw):
-    """(…, K) @ int8 (K, N).  2D-flatten for the kernel."""
+    """(…, K) @ quantized (K, N); uint8 storage = packed int4,
+    int8 = per-column int8.  2D-flatten for the kernel."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    y = int8_matmul(x2, qw['q'], qw['scale'])
+    if qw['q'].dtype == jnp.uint8:
+        y = int4_matmul(x2, qw['q'], qw['scale'], block=INT4_BLOCK)
+    else:
+        y = int8_matmul(x2, qw['q'], qw['scale'])
     return y.reshape(*lead, -1)
 
 
 def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
-                        attn_mask, position_ids, cache: Optional[dict] = None):
-    """Mirror of models/llama.py LlamaModel.__call__ on int8 weights."""
+                        attn_mask, position_ids,
+                        cache: Optional[dict] = None,
+                        use_flash: bool = False):
+    """Mirror of models/llama.py LlamaModel.__call__ on quantized weights.
+
+    Multi-token calls with a cache are PREFILL: the cache must be fresh
+    (index 0); attention runs over this call's own keys (optionally via
+    the Pallas flash kernel), never against the padded cache buffer."""
     dtype = jnp.dtype(cfg.dtype)
     hd = cfg.hidden_size // cfg.num_heads
     nh, nkv = cfg.num_heads, cfg.num_kv_heads
@@ -89,7 +118,32 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
         kv_mask = jax.lax.dynamic_update_slice(
             cache['mask'], attn_mask[:, :s], (0, cache['index']))
 
-    new_k, new_v = [], []
+    cache_index = cache['index'] if cache is not None else None
+    ck = cache['k'] if cache is not None else None
+    cv = cache['v'] if cache is not None else None
+
+    # prefill (s > 1) attends over the CURRENT keys only — multi-token
+    # forwards always start a fresh cache at index 0 in this framework
+    # (GromaModel.prefill / eval generators), so attending to the raw
+    # k/v of this call is exact and never materializes (B, H, S, max_len)
+    # scores against the padded cache buffer
+    prefill_mode = s > 1
+    if prefill_mode or cache is None:
+        skv = s
+        qi = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 0)
+        kj = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 1)
+        causal_ok = kj <= qi
+        amask = attn_mask[:, :s]
+    else:
+        skv = ck.shape[3]
+        qi = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 0)
+        kj = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 1)
+        causal_ok = kj <= qi + cache_index
+        amask = kv_mask
+    neg = jnp.float32(-1e30)
+    mask_bias = jnp.where(
+        causal_ok[None, None] & amask[:, None, None, :], 0.0, neg)
+
     for i, lp in enumerate(qp['layers']):
         h = rms_norm(x, lp['input_layernorm'], cfg.rms_norm_eps)
         qkv = _qmm(h, lp['qkv_proj'])
@@ -101,37 +155,33 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
         k = apply_rope(k.astype(dtype), cos, sin)
         v = v.astype(dtype)
 
-        cache_index = None
         if cache is not None:
-            cache_index = cache['index']
+            # tiny in-place update on the (L, B, H, S, D) stacked carry —
+            # no per-layer unstack/restack (the old path copied the whole
+            # 0.5 GB cache twice per decode step)
             ck = jax.lax.dynamic_update_slice(
-                cache['k'][i], k.astype(cache['k'].dtype),
-                (0, 0, cache_index, 0))
+                ck, k[None].astype(ck.dtype), (i, 0, 0, cache_index, 0))
             cv = jax.lax.dynamic_update_slice(
-                cache['v'][i], v.astype(cache['v'].dtype),
-                (0, 0, cache_index, 0))
-            k, v = ck, cv
-            new_k.append(ck)
-            new_v.append(cv)
+                cv, v[None].astype(cv.dtype), (i, 0, 0, cache_index, 0))
+            if not prefill_mode:
+                k = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
+                v = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
 
         rep = nh // nkv
         if rep > 1:
             k = jnp.repeat(k, rep, axis=1)
             v = jnp.repeat(v, rep, axis=1)
 
-        scale = hd ** -0.5
-        sc = jnp.einsum('bhqd,bhkd->bhqk', q, k,
-                        preferred_element_type=jnp.float32) * scale
-        skv = k.shape[2]
-        sc = jnp.where(kv_mask[:, None, None, :], sc, -1e30)
-        qi = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 0)
-        kj = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 1)
-        causal_ok = kj <= qi + (cache_index if cache is not None
-                                else (skv - s))
-        sc = jnp.where(causal_ok[None, None], sc, -1e30)
-        p = jax.nn.softmax(sc, axis=-1)
-        attn = jnp.einsum('bhqk,bhkd->bhqd', p.astype(v.dtype), v,
-                          preferred_element_type=jnp.float32)
+        if use_flash and prefill_mode:
+            attn = flash_attention(q, k, v, kv_mask=amask, causal=True)
+        else:
+            scale = hd ** -0.5
+            sc = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                            preferred_element_type=jnp.float32) * scale
+            sc = sc + mask_bias
+            p = jax.nn.softmax(sc, axis=-1)
+            attn = jnp.einsum('bhqk,bhkd->bhqd', p.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32)
         attn = attn.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, -1)
         x = x + _qmm(attn, lp['o_proj']).astype(dtype)
 
@@ -145,7 +195,7 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
 
     new_cache = None
     if cache is not None:
-        new_cache = {'k': jnp.stack(new_k), 'v': jnp.stack(new_v),
+        new_cache = {'k': ck, 'v': cv,
                      'mask': kv_mask, 'index': cache['index'] + s}
     return x, new_cache
 
@@ -153,6 +203,10 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
 def quant_llama_logits(qp: dict, hidden):
     head = qp['lm_head']
     if isinstance(head, dict):
-        return _qmm(hidden, head)
+        logits = _qmm(hidden, head)
+        emb = qp.get('embed_tokens')
+        if emb is not None and logits.shape[-1] != emb.shape[0]:
+            logits = logits[..., :emb.shape[0]]   # drop pad_to columns
+        return logits
     return jnp.einsum('bsd,dv->bsv', hidden, head,
                       preferred_element_type=jnp.float32)
