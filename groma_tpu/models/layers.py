@@ -59,20 +59,27 @@ def multi_head_attention(q, k, v, num_heads: int,
     if use_flash and attn_bias is None:
         out = flash_attention(qh, kh, vh, kv_mask=kv_mask, causal=causal)
     else:
-        # bf16 MXU inputs, fp32 accumulation (matches torch autocast
-        # numerics while running the matmuls at full bf16 rate)
+        # bf16 models store scores in bf16 (torch-bf16-autocast semantics
+        # — torch softmax upcasts arithmetic to fp32 but the score tensor
+        # lives in bf16); halves the dominant HBM term at ViT@448 shapes
+        # (1.42 vs 1.85 ms/layer measured).  fp32 models keep fp32 scores.
+        score_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 \
+            else jnp.float32
         scale = hd ** -0.5
         s = jnp.einsum('bhqd,bhkd->bhqk', qh, kh,
-                       preferred_element_type=jnp.float32) * scale
+                       preferred_element_type=score_dtype) \
+            * jnp.asarray(scale, score_dtype)
         if attn_bias is not None:
-            s = s + attn_bias
+            s = s + attn_bias.astype(score_dtype)
         if kv_mask is not None:
-            s = jnp.where(kv_mask[:, None, None, :], s, -1e30)
+            s = jnp.where(kv_mask[:, None, None, :], s,
+                          jnp.asarray(-1e30, jnp.float32).astype(score_dtype))
         if causal:
             qi = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
             kj = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
-            s = jnp.where((kj <= qi + (skv - sq))[None, None], s, -1e30)
-        p = jax.nn.softmax(s, axis=-1)
+            s = jnp.where((kj <= qi + (skv - sq))[None, None], s,
+                          jnp.asarray(-1e30, jnp.float32).astype(score_dtype))
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
         out = jnp.einsum('bhqk,bhkd->bhqd', p.astype(v.dtype), vh,
                          preferred_element_type=jnp.float32)
     return out.transpose(0, 2, 1, 3).reshape(b, sq, d).astype(q.dtype)
