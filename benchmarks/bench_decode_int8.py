@@ -13,7 +13,7 @@ from groma_tpu.models.llama import make_kv_cache
 from groma_tpu.models.llama_quant import quant_llama_forward, quant_llama_logits
 
 cfg = LlamaConfig()
-B, PRE, STEPS, MAXLEN = 1, 512, 64, 1024
+B, PRE, STEPS, MAXLEN = 1, 512, 256, 1024  # 256 steps amortize the ~30 ms tunnel dispatch to <0.1%
 H, I, V, L = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size, cfg.num_layers
 
 def mk_q(shape_kn):
@@ -31,8 +31,12 @@ qp = {'layers': [mk_layer() for _ in range(L)], 'norm': jnp.ones((H,), jnp.float
       'embed_tokens': jnp.full((V, H), 0.01, jnp.bfloat16), 'lm_head': mk_q((H, V + (-V) % 512))}
 qp = jax.jit(lambda t: t)(qp)
 
-def prefill(qp, ids):
-    cache = make_kv_cache(cfg, B, MAXLEN)
+def prefill(qp, ids, kv8=False):
+    if kv8:
+        from groma_tpu.models.llama_quant import make_quant_kv_cache
+        cache = make_quant_kv_cache(cfg, B, MAXLEN)
+    else:
+        cache = make_kv_cache(cfg, B, MAXLEN)
     emb = qp['embed_tokens'][ids]
     pos = jnp.broadcast_to(jnp.arange(PRE)[None], (B, PRE))
     h, cache = quant_llama_forward(qp, cfg, emb, jnp.ones((B,PRE),bool), pos, cache)
@@ -60,3 +64,13 @@ logits, cache = jax.jit(prefill)(qp, ids)
 t0=time.time(); v = float(dec(qp, tok0, cache, pos0, jnp.int32(1))); dt=time.time()-t0
 print(json.dumps({'metric':'llama7b_int8_decode_tok_per_sec','value':round(B*STEPS/dt,2),'unit':'tok/s'}), flush=True)
 print(f'# {dt/STEPS*1000:.1f} ms/tok (bf16 was 24.1)', flush=True)
+
+# int8 KV cache variant: int8 x int8 attention dots over quantized cache
+prefill8 = jax.jit(lambda qp, ids: prefill(qp, ids, kv8=True))
+logits, cache = prefill8(qp, ids); float(logits.sum())
+dec8 = jax.jit(decode_n, donate_argnums=(2,))
+v = float(dec8(qp, tok0, cache, pos0, jnp.int32(0)))
+logits, cache = prefill8(qp, ids)
+t0=time.time(); v = float(dec8(qp, tok0, cache, pos0, jnp.int32(1))); dt=time.time()-t0
+print(json.dumps({'metric':'llama7b_int8_kv8_decode_tok_per_sec','value':round(B*STEPS/dt,2),'unit':'tok/s'}), flush=True)
+print(f'# {dt/STEPS*1000:.1f} ms/tok with int8 KV cache', flush=True)

@@ -110,9 +110,20 @@ def load_groma(path: str, dtype: Optional[str] = None):
 
     HF format (config.json with llm_cfg/perceiver_cfg + safetensors/bin)
     or this framework's own format (config.json from config.py + orbax).
+    The literal path ``"tiny"`` builds a random-weight tiny model (the
+    serving/demo smoke path, analogue of the reference's debug.sh scale).
     Returns (model, params, cfg).
     """
     from groma_tpu.models.groma import GromaModel
+
+    if path == 'tiny':
+        import jax
+        from groma_tpu.config import tiny_groma_config
+        cfg = tiny_groma_config()
+        model = GromaModel(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            **_dummy_batch(cfg))['params']
+        return model, params, cfg
 
     with open(os.path.join(path, 'config.json')) as f:
         cfg_d = json.load(f)

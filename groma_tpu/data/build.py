@@ -157,18 +157,36 @@ def build_multi_datasets(cfg_file: str, **common) -> ConcatDataset:
 class SourceGroupedBatchSampler:
     """Every global batch comes from a single source dataset
     (reference: groma/train/groma_trainer.py:14-59 RandomBatchSampler:
-    permute within each source, chunk into batches, permute batches)."""
+    permute within each source, chunk into batches, permute batches).
+
+    ``rank``/``world_size`` shard the deterministic global batch order
+    across hosts (the DistributedSampler analogue, reference:
+    HF Trainer's per-rank sampling under torchrun): every host computes
+    the SAME seeded permutation and takes batches ``rank::world_size``,
+    so multi-host input is deterministic with no coordination."""
 
     def __init__(self, dataset: ConcatDataset, batch_size: int,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True,
+                 rank: int = 0, world_size: int = 1):
+        assert 0 <= rank < world_size, (rank, world_size)
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.drop_last = drop_last
+        self.rank = rank
+        self.world_size = world_size
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+
+    def _global_len(self):
+        n = 0
+        for k in range(len(self.dataset.datasets)):
+            sz = int(self.dataset.offsets[k + 1] - self.dataset.offsets[k])
+            n += sz // self.batch_size if self.drop_last \
+                else math.ceil(sz / self.batch_size)
+        return n
 
     def __iter__(self):
         rng = np.random.default_rng(self.seed + self.epoch)
@@ -183,16 +201,14 @@ class SourceGroupedBatchSampler:
                 batches.append(idx[b * self.batch_size:
                                    (b + 1) * self.batch_size])
         order = rng.permutation(len(batches))
-        for i in order:
+        # per-host shard: same global order everywhere, strided slice here
+        # (ragged tail dropped so every host runs the same step count)
+        n_even = (len(order) // self.world_size) * self.world_size
+        for i in order[self.rank:n_even:self.world_size]:
             yield batches[i].tolist()
 
     def __len__(self):
-        n = 0
-        for k in range(len(self.dataset.datasets)):
-            sz = int(self.dataset.offsets[k + 1] - self.dataset.offsets[k])
-            n += sz // self.batch_size if self.drop_last \
-                else math.ceil(sz / self.batch_size)
-        return n
+        return self._global_len() // self.world_size
 
 
 def collate_vl(samples: List[dict]) -> dict:

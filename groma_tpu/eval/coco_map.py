@@ -126,8 +126,11 @@ class DetectionEvaluator:
         out = {}
         for cat in cat_ids:
             scores, dtms, dtigs, n_gt = [], [], [], 0
-            img_ids = {i for (i, c) in list(self.gts) + list(self.dets)
-                       if c == cat}
+            # sorted image order: pycocotools concatenates evalImgs in
+            # (sorted) imgIds order, which fixes the tie order of equal
+            # scores under the stable argsort below
+            img_ids = sorted({i for (i, c) in list(self.gts)
+                              + list(self.dets) if c == cat})
             for img in img_ids:
                 gt = self.gts.get((img, cat), [])
                 gboxes = np.asarray([g[0] for g in gt],

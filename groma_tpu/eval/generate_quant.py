@@ -40,9 +40,14 @@ def quantize_groma_llm(params: dict, cfg: GromaConfig,
 
 
 class QuantGenerator:
-    """Prefill + greedy scan decode with the int8 LLM."""
+    """Prefill + greedy scan decode with the int8 LLM.
 
-    def __init__(self, model: GromaModel, params, qp, max_len: int = 2048):
+    ``kv_bits=8`` stores the KV cache as int8 with per-token scales
+    (models/llama_quant.py make_quant_kv_cache) — halves cache HBM
+    streaming and footprint on top of the weight-only quantization."""
+
+    def __init__(self, model: GromaModel, params, qp, max_len: int = 2048,
+                 kv_bits: int = 16):
         self.model = model
         cfg = model.cfg
         self.cfg = cfg
@@ -70,7 +75,12 @@ class QuantGenerator:
                 refer_valid=refer_valid, method=GromaModel.prepare_stream)
             pos = jnp.maximum(
                 jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
-            cache = make_kv_cache(cfg.llm, images.shape[0], max_len)
+            if kv_bits == 8:
+                from groma_tpu.models.llama_quant import make_quant_kv_cache
+                cache = make_quant_kv_cache(cfg.llm, images.shape[0],
+                                            max_len)
+            else:
+                cache = make_kv_cache(cfg.llm, images.shape[0], max_len)
             hidden, cache = quant_llama_forward(qp, cfg.llm, emb, valid,
                                                 pos, cache)
             last = jnp.argmax(pos, axis=-1)

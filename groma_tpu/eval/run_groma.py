@@ -33,14 +33,18 @@ def draw_boxes(image: 'np.ndarray', boxes_cxcywh, path: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--model-dir', required=True,
+    ap.add_argument('--model-dir', default=None,
                     help='checkpoint dir (orbax or HF-format)')
+    ap.add_argument('--tiny', action='store_true',
+                    help='random-weight tiny model (pipeline smoke test)')
     ap.add_argument('--image-file', required=True)
     ap.add_argument('--query', required=True)
     ap.add_argument('--tokenizer', default=None,
                     help='HF tokenizer path (defaults to model dir)')
     ap.add_argument('--quant_type', default='none',
                     choices=['none', 'bf16', 'int8', 'int4'])
+    ap.add_argument('--kv-bits', type=int, default=16, choices=[16, 8],
+                    help='8 = int8 KV cache (quantized paths only)')
     ap.add_argument('--max-new-tokens', type=int, default=1024)
     ap.add_argument('--output-image', default='output.jpg')
     args = ap.parse_args()
@@ -58,11 +62,18 @@ def main():
     from groma_tpu.eval.generate import Generator, parse_region_tokens
 
 
-    model, params, cfg = load_groma(args.model_dir,
+    model_dir = 'tiny' if args.tiny else args.model_dir
+    if not model_dir:
+        ap.error('--model-dir or --tiny is required')
+    model, params, cfg = load_groma(model_dir,
                                     dtype='bfloat16' if args.quant_type
                                     == 'bf16' else None)
-    tokenizer = load_tokenizer(args.tokenizer or args.model_dir,
-                            model_max_length=cfg.max_seq_len)
+    if model_dir == 'tiny':
+        from groma_tpu.data.tokenizer import StubTokenizer
+        tokenizer = StubTokenizer(cfg.llm.vocab_size, cfg.max_seq_len)
+    else:
+        tokenizer = load_tokenizer(args.tokenizer or model_dir,
+                                   model_max_length=cfg.max_seq_len)
     spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
                       max_region_num=cfg.max_region_num,
                       max_seq_len=cfg.max_seq_len,
@@ -86,7 +97,8 @@ def main():
         qp = quantize_groma_llm(params, cfg,
                                 bits=4 if args.quant_type == 'int4' else 8)
         gen = QuantGenerator(model, params, qp,
-                             max_len=cfg.max_seq_len + 64)
+                             max_len=cfg.max_seq_len + 64,
+                             kv_bits=args.kv_bits)
     else:
         gen = Generator(model, params, max_len=cfg.max_seq_len + 64)
     tokens, vis = gen.generate(
@@ -99,8 +111,9 @@ def main():
     print(text)
 
     ks = parse_region_tokens(tokens, tokenizer.sp.box_idx_start)[0]
+    cap = vis['selected_mask'].shape[1]
     boxes = [vis['selected_boxes'][0, k] for k in ks
-             if vis['selected_mask'][0, k]]
+             if k < cap and vis['selected_mask'][0, k]]
     if boxes:
         draw_boxes(img448, boxes, args.output_image)
         print(f'drew {len(boxes)} boxes -> {args.output_image}')

@@ -74,6 +74,9 @@ class Dinov2Model(nn.Module):
     """
     cfg: ViTConfig
     deploy_image_size: Optional[int] = None   # pos-embed grid; default cfg
+    remat: bool = False   # per-layer activation rematerialization
+    # (gradient checkpointing for the vision tower — headroom beyond the
+    # reference, which always freezes the ViT; SURVEY §2.8)
 
     @nn.compact
     def __call__(self, pixel_values, use_flash=False):
@@ -101,9 +104,11 @@ class Dinov2Model(nn.Module):
                          (1, 1 + grid * grid, c.hidden_size))
         x = x + pos.astype(dtype)
 
+        layer_cls = nn.remat(Dinov2Layer, static_argnums=(2,)) \
+            if self.remat else Dinov2Layer
         hidden_states = [x]
         for i in range(c.num_layers):
-            x = Dinov2Layer(c, dtype, name=f'layer_{i}')(x, use_flash)
+            x = layer_cls(c, dtype, name=f'layer_{i}')(x, use_flash)
             hidden_states.append(x)
         last = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=dtype,
                             name='norm')(x)

@@ -283,11 +283,23 @@ class GromaModel(nn.Module):
 
         loss = None
         if labels is not None:
-            shift_logits = logits[:, :-1].astype(jnp.float32)
-            shift_labels = labels[:, 1:]
-            ok = shift_labels != IGNORE_INDEX
-            safe = jnp.where(ok, shift_labels, 0)
-            logp = jax.nn.log_softmax(shift_logits, axis=-1)
+            # each supervised token is conditioned on the last VALID
+            # position before it (not the physical previous slot): in the
+            # reference's dynamic stream (groma.py:404-415) the token after
+            # the region block directly follows the last real region token,
+            # so with fixed-capacity slots the gap of masked-invalid
+            # positions must be skipped, not attended to.  For gapless
+            # templates prev_valid == j-1 and this is the ordinary shift.
+            pos = jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1)
+            last_valid = jax.lax.cummax(jnp.where(valid, pos, -1), axis=1)
+            prev_valid = jnp.pad(last_valid[:, :-1], ((0, 0), (1, 0)),
+                                 constant_values=-1)
+            ok = (labels != IGNORE_INDEX) & (prev_valid >= 0)
+            src = jnp.clip(prev_valid, 0, None)
+            cond_logits = jnp.take_along_axis(
+                logits, src[..., None], axis=1).astype(jnp.float32)
+            safe = jnp.where(ok, labels, 0)
+            logp = jax.nn.log_softmax(cond_logits, axis=-1)
             nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
             loss = jnp.sum(jnp.where(ok, nll, 0.0)) \
                 / jnp.maximum(jnp.sum(ok), 1)

@@ -97,6 +97,63 @@ def _qmm(x, qw):
     return y.reshape(*lead, -1)
 
 
+# --------------------------------------------------------- int8 KV cache
+
+def make_quant_kv_cache(cfg: LlamaConfig, batch: int, max_len: int):
+    """int8 KV cache with per-(layer, batch, head, position) scales.
+
+    Halves the decode-time KV HBM stream and cache footprint vs bf16
+    (537 -> 270 MB at 7B/b1/s1024; ~2.6 ms/step at b8) — the KV-side
+    analogue of the weight-only int8 path.  Scales are 1/128 of the
+    element count, so their overhead is negligible."""
+    hd = cfg.hidden_size // cfg.num_heads
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, hd)
+    return {
+        'k': jnp.zeros(shape, jnp.int8),
+        'v': jnp.zeros(shape, jnp.int8),
+        'k_scale': jnp.zeros(shape[:-1], jnp.float32),
+        'v_scale': jnp.zeros(shape[:-1], jnp.float32),
+        'mask': jnp.zeros((batch, max_len), bool),
+        'index': 0,
+    }
+
+
+def _quantize_tokens(x):
+    """(B, H, S, D) float -> (int8, (B, H, S) f32 scale), symmetric
+    per-token-per-head absmax."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    sc = jnp.where(a > 0, a / 127.0, 1.0)
+    q = jnp.round(x.astype(jnp.float32) / sc[..., None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), sc
+
+
+def _int8_cache_attention(q, k_q, k_s, v_q, v_s, mask_bias):
+    """Single-token decode attention over the int8 cache.
+
+    Both dots run int8 x int8 -> int32 on the MXU, so the cache is
+    streamed from HBM as int8 with no bf16 materialization:
+    * scores: quantize q per (B, H); s = (q8 . k8) * qs * ks[pos].
+    * output: fold the v scale into p (it indexes the contraction dim),
+      then re-quantize the scaled p per (B, H) row.
+    """
+    b, h, sq, d = q.shape
+    q8, qs = _quantize_tokens(q)                       # (B,H,1,D), (B,H,1)
+    s = jax.lax.dot_general(
+        q8, k_q, (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)              # (B,H,1,S)
+    s = s.astype(jnp.float32) * qs[..., None] * k_s[:, :, None, :] \
+        * (d ** -0.5)
+    p = jax.nn.softmax(s + mask_bias, axis=-1)         # (B,H,1,S) f32
+    ps = p * v_s[:, :, None, :]
+    r = jnp.max(ps, axis=-1, keepdims=True)            # p >= 0
+    r = jnp.where(r > 0, r / 127.0, 1.0)
+    ps8 = jnp.round(ps / r).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        ps8, v_q, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)              # (B,H,1,D)
+    return out.astype(jnp.float32) * r
+
+
 def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
                         attn_mask, position_ids,
                         cache: Optional[dict] = None,
@@ -121,6 +178,9 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
     cache_index = cache['index'] if cache is not None else None
     ck = cache['k'] if cache is not None else None
     cv = cache['v'] if cache is not None else None
+    quant_kv = cache is not None and ck.dtype == jnp.int8
+    cks = cache.get('k_scale') if quant_kv else None
+    cvs = cache.get('v_scale') if quant_kv else None
 
     # prefill (s > 1) attends over the CURRENT keys only — multi-token
     # forwards always start a fresh cache at index 0 in this framework
@@ -155,7 +215,20 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
         k = apply_rope(k.astype(dtype), cos, sin)
         v = v.astype(dtype)
 
-        if cache is not None:
+        if quant_kv:
+            # int8 KV: quantize this step's keys/values per (b, head,
+            # position) and update the int8 planes + scale planes
+            kq8, ksc = _quantize_tokens(k)
+            vq8, vsc = _quantize_tokens(v)
+            ck = jax.lax.dynamic_update_slice(
+                ck, kq8[None], (i, 0, 0, cache_index, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, vq8[None], (i, 0, 0, cache_index, 0))
+            cks = jax.lax.dynamic_update_slice(
+                cks, ksc[None], (i, 0, 0, cache_index))
+            cvs = jax.lax.dynamic_update_slice(
+                cvs, vsc[None], (i, 0, 0, cache_index))
+        elif cache is not None:
             # tiny in-place update on the (L, B, H, S, D) stacked carry —
             # no per-layer unstack/restack (the old path copied the whole
             # 0.5 GB cache twice per decode step)
@@ -163,25 +236,46 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
                 ck, k[None].astype(ck.dtype), (i, 0, 0, cache_index, 0))
             cv = jax.lax.dynamic_update_slice(
                 cv, v[None].astype(cv.dtype), (i, 0, 0, cache_index, 0))
-            if not prefill_mode:
-                k = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
-                v = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
+        if cache is not None and not prefill_mode and not quant_kv:
+            k = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
 
         rep = nh // nkv
-        if rep > 1:
-            k = jnp.repeat(k, rep, axis=1)
-            v = jnp.repeat(v, rep, axis=1)
-
-        if use_flash and prefill_mode:
-            attn = flash_attention(q, k, v, kv_mask=amask, causal=True)
+        if quant_kv and not prefill_mode and rep == 1:
+            attn = _int8_cache_attention(
+                q,
+                jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cks, i, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(cvs, i, 0, keepdims=False),
+                mask_bias)
         else:
-            scale = hd ** -0.5
-            sc = jnp.einsum('bhqd,bhkd->bhqk', q, k,
-                            preferred_element_type=jnp.float32) * scale
-            sc = sc + mask_bias
-            p = jax.nn.softmax(sc, axis=-1)
-            attn = jnp.einsum('bhqk,bhkd->bhqd', p.astype(v.dtype), v,
-                              preferred_element_type=jnp.float32)
+            if quant_kv and not prefill_mode:
+                # GQA decode over an int8 cache: dequantize this layer
+                # (rep > 1 needs head-repeat anyway; LLaMA-7B is MHA so
+                # the int8x int8 fast path above is the production route)
+                k = (jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
+                     .astype(jnp.float32)
+                     * jax.lax.dynamic_index_in_dim(
+                         cks, i, 0, keepdims=False)[..., None]).astype(dtype)
+                v = (jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
+                     .astype(jnp.float32)
+                     * jax.lax.dynamic_index_in_dim(
+                         cvs, i, 0, keepdims=False)[..., None]).astype(dtype)
+            if rep > 1:
+                k = jnp.repeat(k, rep, axis=1)
+                v = jnp.repeat(v, rep, axis=1)
+
+            if use_flash and prefill_mode:
+                attn = flash_attention(q, k, v, kv_mask=amask, causal=True)
+            else:
+                scale = hd ** -0.5
+                sc = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                                preferred_element_type=jnp.float32) * scale
+                sc = sc + mask_bias
+                p = jax.nn.softmax(sc, axis=-1)
+                attn = jnp.einsum('bhqk,bhkd->bhqd', p.astype(v.dtype), v,
+                                  preferred_element_type=jnp.float32)
         attn = attn.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, -1)
         x = x + _qmm(attn, lp['o_proj']).astype(dtype)
 
@@ -197,6 +291,9 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
     if cache is not None:
         new_cache = {'k': ck, 'v': cv,
                      'mask': kv_mask, 'index': cache['index'] + s}
+        if quant_kv:
+            new_cache['k_scale'] = cks
+            new_cache['v_scale'] = cvs
     return x, new_cache
 
 

@@ -61,6 +61,109 @@ def mha_reference(q, k, v, kv_mask=None, causal=False, scale=None):
     return jnp.einsum('bhqk,bhkd->bhqd', p, v.astype(jnp.float32)).astype(q.dtype)
 
 
+# ------------------------------------------------- forward (single kv block)
+
+def _fwd_wholekv_kernel(q_ref, k_ref, v_ref, cnt_ref, o_ref, lse_ref,
+                        *, scale, block_q, seq_kv, skv_p, need_lse):
+    """Encoder-shape forward: the whole kv range lives in one block, heads
+    are batched into the leading block dim.
+
+    The tiled online-softmax kernel is overhead-bound at ViT shapes
+    (d=64, s~1k: ~0.2us of MXU work per grid step vs ~3us of step
+    overhead).  Holding all keys in VMEM removes the running-max/sum
+    corrections entirely and batching heads amortizes the grid overhead;
+    k arrives pre-transposed as (hb, d, skv_p) so both dots contract
+    MXU-naturally (lhs last dim x rhs first dim) — no in-kernel relayout.
+
+    Masking is algebraic, not elementwise: invalid/pad key columns are
+    ZEROED outside the kernel, so their scores are exactly 0 and their
+    softmax contribution is exp(-m) each; subtracting
+    ``invalid_count * exp(-m)`` from the denominator removes them without
+    a single iota/compare/where pass over the (hb, bq, skv_p) block.
+    Their p-columns do hit the second dot, but v is zeroed there too, so
+    the numerator is exact."""
+    q = q_ref[0]                                     # (hb, bq, d)
+    kt = k_ref[0]                                    # (hb, d, skv_p)
+    s = jax.lax.dot_general(
+        q, kt, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # (hb, bq, skv_p)
+
+    inv_cnt = cnt_ref[0, 0, 0]                       # scalar f32
+    m = jnp.max(s, axis=-1, keepdims=True)           # >= 0 when pad exists
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True) - inv_cnt * jnp.exp(-m)
+    safe_l = jnp.where(l > 1e-20, l, 1.0)
+    v = v_ref[0]
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (o / safe_l).astype(o_ref.dtype)
+    if need_lse:
+        lse = jnp.where(l > 1e-20, m + jnp.log(safe_l), NEG_INF)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref[0].shape)
+
+
+def _fwd_wholekv(q, k, v, kv_mask, scale, block_q, interpret,
+                 need_lse=True):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    sq_p = pl.cdiv(sq, block_q) * block_q
+    skv_p = pl.cdiv(skv, 128) * 128
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    # zero invalid key/value slots so their scores are exactly 0 (the
+    # kernel's algebraic-masking contract); tail padding is zero already
+    mz = kv_mask[:, None, :, None].astype(k.dtype)
+    ktp = jnp.pad((k * mz).transpose(0, 1, 3, 2),
+                  ((0, 0), (0, 0), (0, 0), (0, skv_p - skv)))
+    vp = jnp.pad(v * mz, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    inv_cnt = (skv_p - jnp.sum(kv_mask, axis=-1)).astype(jnp.float32)
+    inv_cnt = jnp.broadcast_to(inv_cnt[:, None, None], (b, 8, 128))
+
+    # heads per block: amortize grid-step overhead, cap the fp32 score
+    # block (hb * block_q * skv_p * 4B) at ~4 MB of VMEM
+    hb = 1
+    for cand in (2, 4, 8, 16):
+        if h % cand == 0 and cand * block_q * skv_p * 4 <= 4 * 2 ** 20:
+            hb = cand
+    nq = sq_p // block_q
+
+    kernel = functools.partial(
+        _fwd_wholekv_kernel, scale=scale, block_q=block_q, seq_kv=skv,
+        skv_p=skv_p, need_lse=need_lse)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b, h // hb, nq),
+        in_specs=[
+            pl.BlockSpec((1, hb, block_q, d),
+                         lambda ib, ih, iq: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, d, skv_p),
+                         lambda ib, ih, iq: (ib, ih, 0, 0)),
+            pl.BlockSpec((1, hb, skv_p, d),
+                         lambda ib, ih, iq: (ib, ih, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda ib, ih, iq: (ib, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hb, block_q, d),
+                         lambda ib, ih, iq: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, block_q, 128),
+                         lambda ib, ih, iq: (ib, ih, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_p, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, ktp, vp, inv_cnt)
+
+    out = out[:, :, :sq]
+    lse = lse[:, :, :sq, 0]
+    return out, lse
+
+
+# maximum kv length for the whole-kv encoder kernel (k/v/score VMEM fit)
+WHOLEKV_MAX_SKV = 4096
+
+
 # ---------------------------------------------------------------- forward
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
@@ -80,17 +183,51 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     if causal:
         q_end = iq * block_q + (block_q - 1) + (seq_kv - seq_q)
         block_live = ik * block_k <= q_end
+        # blocks strictly below the diagonal of the FIRST row of this q
+        # block need no causal masking at all
+        q_start = iq * block_q + (seq_kv - seq_q)
+        crosses_diag = ik * block_k + (block_k - 1) > q_start
     else:
         block_live = True
+        crosses_diag = False
 
-    @pl.when(block_live)
-    def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    # interior fast path: no causal crossing, no kv tail, and every kv
+    # slot valid — skip ALL the iota/compare/where VPU work (most blocks
+    # at training shapes; the masked path runs only on boundary blocks)
+    kv_valid = mask_ref[0, 0] != 0                      # (block_k,)
+    in_tail = ik * block_k + block_k > seq_kv
+    all_valid = jnp.all(kv_valid) & jnp.logical_not(in_tail) \
+        & jnp.logical_not(crosses_diag)
+
+    def _update(s, p_valid=None):
+        """Online-softmax update with scores s (p zeroed via p_valid)."""
+        m_prev = m_scr[:, :1]                           # (block_q, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        if p_valid is not None:
+            p = jnp.where(p_valid, p, 0.0)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0]
+        acc[:] = acc[:] * corr + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(block_live & all_valid)
+    def _compute_fast():
+        # feed the MXU in the input dtype (bf16 matmul + fp32 accumulate
+        # when the model is bf16 — 4x the fp32 MXU rate; fp32 models keep
+        # full-precision matmuls)
+        s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        _update(s)
 
-        kv_valid = mask_ref[0, 0] != 0                  # (block_k,)
+    @pl.when(block_live & jnp.logical_not(all_valid))
+    def _compute_masked():
+        s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
         if causal:
@@ -98,19 +235,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
             qpos = row + iq * block_q + (seq_kv - seq_q)
             valid = valid & (col + ik * block_k <= qpos)
         s = jnp.where(valid, s, NEG_INF)
-
-        m_prev = m_scr[:, :1]                           # (block_q, 1)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        p = jnp.where(valid, p, 0.0)
-        corr = jnp.exp(m_prev - m_new)
-        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0].astype(jnp.float32)
-        acc[:] = acc[:] * corr + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32)
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        _update(s, p_valid=valid)
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finalize():
@@ -124,6 +249,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
 def _fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret):
     b, h, sq, d = q.shape
     skv = k.shape[2]
+    if not causal and skv <= WHOLEKV_MAX_SKV:
+        return _fwd_wholekv(q, k, v, kv_mask, scale, min(block_q, 256),
+                            interpret)
     sq_p = pl.cdiv(sq, block_q) * block_q
     skv_p = pl.cdiv(skv, block_k) * block_k
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
@@ -189,21 +317,43 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     if causal:
         q_end = iq * block_q + (block_q - 1) + (seq_kv - seq_q)
         block_live = ik * block_k <= q_end
+        q_start = iq * block_q + (seq_kv - seq_q)
+        crosses_diag = ik * block_k + (block_k - 1) > q_start
     else:
         block_live = True
+        crosses_diag = False
 
-    @pl.when(block_live)
-    def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
-        lse = lse_ref[0][:, :1]
+    kv_valid = mask_ref[0, 0] != 0
+    kv_tail = ik * block_k + block_k > seq_kv
+    q_tail = iq * block_q + block_q > seq_q
+    all_valid = jnp.all(kv_valid) & jnp.logical_not(kv_tail) \
+        & jnp.logical_not(q_tail) & jnp.logical_not(crosses_diag)
+
+    def _accumulate(p):
+        do = do_ref[0]
         delta = delta_ref[0][:, :1]
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta) * scale).astype(q_ref.dtype)
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        kv_valid = mask_ref[0, 0] != 0
+    def _scores():
+        return jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(block_live & all_valid)
+    def _compute_fast():
+        _accumulate(jnp.exp(_scores() - lse_ref[0][:, :1]))
+
+    @pl.when(block_live & jnp.logical_not(all_valid))
+    def _compute_masked():
+        s = _scores()
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
         row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -211,17 +361,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         valid = valid & (qpos < seq_q)
         if causal:
             valid = valid & (col + ik * block_k <= qpos + (seq_kv - seq_q))
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
-
-        dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
-        dk_acc[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        _accumulate(jnp.where(valid, jnp.exp(s - lse_ref[0][:, :1]), 0.0))
 
     @pl.when(iq == num_q_blocks - 1)
     def _finalize():
@@ -242,33 +382,45 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     if causal:
         q_end = iq * block_q + (block_q - 1) + (seq_kv - seq_q)
         block_live = ik * block_k <= q_end
+        q_start = iq * block_q + (seq_kv - seq_q)
+        crosses_diag = ik * block_k + (block_k - 1) > q_start
     else:
         block_live = True
+        crosses_diag = False
 
-    @pl.when(block_live)
-    def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
-        lse = lse_ref[0][:, :1]
+    kv_valid = mask_ref[0, 0] != 0
+    kv_tail = ik * block_k + block_k > seq_kv
+    all_valid = jnp.all(kv_valid) & jnp.logical_not(kv_tail) \
+        & jnp.logical_not(crosses_diag)
+
+    def _accumulate(p):
+        do = do_ref[0]
         delta = delta_ref[0][:, :1]
+        dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta) * scale).astype(k_ref.dtype)
+        dq_acc[:] += jax.lax.dot(ds, k_ref[0],
+                                 preferred_element_type=jnp.float32)
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        kv_valid = mask_ref[0, 0] != 0
+    def _scores():
+        return jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(block_live & all_valid)
+    def _compute_fast():
+        _accumulate(jnp.exp(_scores() - lse_ref[0][:, :1]))
+
+    @pl.when(block_live & jnp.logical_not(all_valid))
+    def _compute_masked():
+        s = _scores()
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             qpos = row + iq * block_q + (seq_kv - seq_q)
             valid = valid & (col + ik * block_k <= qpos)
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
-        dq_acc[:] += jax.lax.dot(ds, k,
-                                 preferred_element_type=jnp.float32)
+        _accumulate(jnp.where(valid, jnp.exp(s - lse_ref[0][:, :1]), 0.0))
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finalize():

@@ -59,8 +59,9 @@ def main():
         ks = parse_region_tokens(tokens, tokenizer.sp.box_idx_start)[0]
         print(f'ASSISTANT: {text}')
         if ks:
+            cap = vis['selected_mask'].shape[1]
             boxes = [vis['selected_boxes'][0, k].tolist() for k in ks
-                     if vis['selected_mask'][0, k]]
+                     if k < cap and vis['selected_mask'][0, k]]
             print(f'  grounded boxes (cxcywh): {boxes}')
         messages[-1] = (conv.roles[1], text)
         history = messages

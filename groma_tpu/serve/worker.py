@@ -32,8 +32,13 @@ class ModelWorker:
         from groma_tpu.eval.generate import Generator
 
         self.model, self.params, self.cfg = load_groma(model_dir)
-        self.tokenizer = load_tokenizer(tokenizer_path or model_dir,
-                                     self.cfg.max_seq_len)
+        if model_dir == 'tiny':
+            from groma_tpu.data.tokenizer import StubTokenizer
+            self.tokenizer = StubTokenizer(self.cfg.llm.vocab_size,
+                                           self.cfg.max_seq_len)
+        else:
+            self.tokenizer = load_tokenizer(tokenizer_path or model_dir,
+                                            self.cfg.max_seq_len)
         self.spec = VLDataSpec(
             num_image_tokens=self.cfg.num_image_tokens,
             max_region_num=self.cfg.max_region_num,
@@ -172,14 +177,19 @@ def make_handler(worker: ModelWorker):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--model-dir', required=True)
+    ap.add_argument('--model-dir', default=None)
+    ap.add_argument('--tiny', action='store_true',
+                    help='random-weight tiny model (serving smoke test)')
     ap.add_argument('--host', default='0.0.0.0')
     ap.add_argument('--port', type=int, default=21002)
     ap.add_argument('--controller-address', default='')
     ap.add_argument('--worker-name', default='http://localhost:21002')
     ap.add_argument('--limit-model-concurrency', type=int, default=2)
     a = ap.parse_args()
-    worker = ModelWorker(a.model_dir, worker_name=a.worker_name,
+    model_dir = 'tiny' if a.tiny else a.model_dir
+    if not model_dir:
+        ap.error('--model-dir or --tiny is required')
+    worker = ModelWorker(model_dir, worker_name=a.worker_name,
                          limit=a.limit_model_concurrency,
                          controller_addr=a.controller_address)
     httpd = ThreadingHTTPServer((a.host, a.port), make_handler(worker))

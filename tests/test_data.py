@@ -197,3 +197,39 @@ def test_config_base_inheritance(tmp_path):
         "_base_ = './base.py'\nmodel = dict(_delete_=True, width=1)\n")
     cfg2 = load_config(str(tmp_path / 'child2.py'))
     assert cfg2['model'] == {'width': 1}
+
+
+def test_sampler_multihost_shards(data_root):
+    """rank/world_size sharding: disjoint, deterministic, equal-length
+    per-host batch streams that partition the (even) global order."""
+    from groma_tpu.data.datasets.vl_datasets import COCODet, RefCOCO
+    tok = _tok()
+    ds = ConcatDataset([
+        RefCOCO(str(data_root / 'ann.json'), str(data_root / 'imgs'),
+                tok, spec=SPEC),
+        COCODet(str(data_root / 'ann.json'), str(data_root / 'imgs'),
+                tok, spec=SPEC),
+    ])
+    world = 2
+    shards = [list(SourceGroupedBatchSampler(
+        ds, batch_size=2, rank=r, world_size=world)) for r in range(world)]
+    # equal per-host step count == len()
+    for r, sh in enumerate(shards):
+        assert len(sh) == len(SourceGroupedBatchSampler(
+            ds, batch_size=2, rank=r, world_size=world))
+    assert len(shards[0]) == len(shards[1])
+    # disjoint sample indices across hosts
+    flat = [frozenset(i for b in sh for i in b) for sh in shards]
+    assert not (flat[0] & flat[1])
+    # interleaving matches the single-host global order (minus ragged tail)
+    glob = list(SourceGroupedBatchSampler(ds, batch_size=2))
+    n_even = (len(glob) // world) * world
+    inter = []
+    for i in range(len(shards[0])):
+        for sh in shards:
+            inter.append(sh[i])
+    assert inter == glob[:n_even]
+    # deterministic: re-iterating gives the same stream
+    again = list(SourceGroupedBatchSampler(ds, batch_size=2, rank=0,
+                                           world_size=world))
+    assert again == shards[0]

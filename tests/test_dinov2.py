@@ -55,3 +55,29 @@ def test_pos_embed_bicubic_matches_torch(rng):
         align_corners=False).permute(0, 2, 3, 1).reshape(1, -1, c).numpy()
     np.testing.assert_allclose(got[:, 1:], want, atol=1e-5)
     np.testing.assert_allclose(got[:, :1], pos[:, :1], atol=0)
+
+
+def test_dinov2_remat_matches(rng):
+    """remat=True (gradient checkpointing) changes memory, not values
+    or gradients (SURVEY §2.8 gradient-checkpointing row)."""
+    import jax
+    cfg = ViTConfig(hidden_size=32, num_layers=2, num_heads=4,
+                    patch_size=14, image_size=28, dtype='float32')
+    img = jnp.asarray(rng.standard_normal((1, 28, 28, 3)), jnp.float32)
+    m0, m1 = Dinov2Model(cfg), Dinov2Model(cfg, remat=True)
+    params = m0.init(jax.random.PRNGKey(0), img)['params']
+
+    def loss(m):
+        def f(p, im):
+            last, _ = m.apply({'params': p}, im)
+            return jnp.sum(last ** 2)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(m0))(params, img), None
+    l1 = jax.value_and_grad(loss(m1))(params, img)
+    np.testing.assert_allclose(np.asarray(l0[0]), np.asarray(l1[0]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(l0[1]),
+                    jax.tree_util.tree_leaves(l1[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)

@@ -45,3 +45,34 @@ def test_quant_generator_runs_and_tracks_fp(rng):
     # same proposal pool (vision path is shared, full precision)
     np.testing.assert_allclose(vis_q['selected_boxes'],
                                vis_fp['selected_boxes'], atol=1e-5)
+
+
+def test_quant_generator_int8_kv(rng):
+    """kv_bits=8 path runs end to end and matches the bf16-cache decode's
+    proposal pool and token shape (int8 cache noise may flip tokens on a
+    random tiny model, so only structure + vision are asserted exact)."""
+    tok = StubTokenizer(base_vocab=CFG.llm.vocab_size)
+    model = GromaModel(CFG)
+    t = build_rec_prompt('thing', tok, SPEC)
+    img = jnp.asarray(rng.standard_normal((1, 56, 56, 3)), jnp.float32)
+    kw = dict(images=img,
+              input_ids=jnp.asarray(t['input_ids'][None]),
+              region_slot=jnp.asarray(t['region_slot'][None]),
+              base_valid=jnp.asarray(t['valid'][None]))
+    params = model.init(jax.random.PRNGKey(0), **kw)['params']
+    qp = quantize_groma_llm(params, CFG)
+
+    qg16 = QuantGenerator(model, params, qp, max_len=CFG.max_seq_len + 8)
+    qg8 = QuantGenerator(model, params, qp, max_len=CFG.max_seq_len + 8,
+                         kv_bits=8)
+    toks16, vis16 = qg16.generate(
+        img, kw['input_ids'], kw['region_slot'], kw['base_valid'],
+        max_new_tokens=3, eos_id=tok.sp.eos)
+    toks8, vis8 = qg8.generate(
+        img, kw['input_ids'], kw['region_slot'], kw['base_valid'],
+        max_new_tokens=3, eos_id=tok.sp.eos)
+    assert toks8.shape[0] == 1 and toks8.shape[1] >= 1
+    np.testing.assert_allclose(vis8['selected_boxes'],
+                               vis16['selected_boxes'], atol=1e-5)
+    # first decoded token comes from the (identical) prefill logits
+    assert toks8[0, 0] == toks16[0, 0]

@@ -58,3 +58,36 @@ def test_quant_cache_decode(rng):
                                         cache)
         np.testing.assert_allclose(np.asarray(ht[:, 0]),
                                    np.asarray(full_h[:, t]), atol=1e-4)
+
+
+def test_int8_kv_cache_decode_close(rng):
+    """int8 KV cache decode (int8 x int8 score + p-requant output dots)
+    tracks the bf16/f32-cache decode within quantization noise."""
+    from groma_tpu.models.llama_quant import make_quant_kv_cache
+
+    model, params, qp, ids = _setup(rng)
+    mask = jnp.ones_like(ids, dtype=bool)
+    pos = jnp.broadcast_to(jnp.arange(12)[None], (1, 12))
+    emb = qp['embed_tokens'][ids].astype(jnp.float32)
+
+    ref_cache = make_kv_cache(CFG, 1, 16, dtype=jnp.float32)
+    q_cache = make_quant_kv_cache(CFG, 1, 16)
+    h_ref, ref_cache = quant_llama_forward(qp, CFG, emb[:, :6],
+                                           mask[:, :6], pos[:, :6],
+                                           ref_cache)
+    h_q, q_cache = quant_llama_forward(qp, CFG, emb[:, :6], mask[:, :6],
+                                       pos[:, :6], q_cache)
+    # prefill math is identical (attends over this call's raw k/v)
+    np.testing.assert_allclose(np.asarray(h_q), np.asarray(h_ref),
+                               atol=1e-4)
+    for t in range(6, 12):
+        h_ref, ref_cache = quant_llama_forward(
+            qp, CFG, emb[:, t:t + 1], mask[:, t:t + 1], pos[:, t:t + 1],
+            ref_cache)
+        h_q, q_cache = quant_llama_forward(
+            qp, CFG, emb[:, t:t + 1], mask[:, t:t + 1], pos[:, t:t + 1],
+            q_cache)
+        a, b = np.asarray(h_q[:, 0]), np.asarray(h_ref[:, 0])
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.999, (t, cos)
+        np.testing.assert_allclose(a, b, atol=0.15, rtol=0.1)
