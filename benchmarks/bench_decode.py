@@ -18,6 +18,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _cache  # noqa: E402
+_cache.enable()
 
 
 def main(batch=1, prefill_len=512, decode_steps=32, max_len=1024):

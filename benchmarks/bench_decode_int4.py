@@ -6,6 +6,9 @@ per step vs 6.7 GB int8 / 13.5 GB bf16.
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _cache  # noqa: E402
+_cache.enable()
 import time, json
 import numpy as np, jax, jax.numpy as jnp
 from groma_tpu.config import LlamaConfig

@@ -18,6 +18,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _cache  # noqa: E402
+_cache.enable()
 
 
 def main(batch=1):
@@ -118,7 +121,7 @@ def main(batch=1):
         image = image + seed.astype(image.dtype) * 1e-9
         emb, fids, valid, vis = model.apply(
             {'params': params}, image, ids, slot, valid0,
-            method=GromaModel.prepare_stream)
+            use_flash=on_tpu, method=GromaModel.prepare_stream)
         pos = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
         cache = make_kv_cache(cfg.llm, batch, max_len)
         hidden, cache = quant_llama_forward(qp, cfg.llm, emb, valid, pos,

@@ -29,6 +29,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _cache  # noqa: E402
+_cache.enable()
 
 PEAK_FLOPS = {'v5e': 197e12, 'v4': 275e12, 'v5p': 459e12}
 

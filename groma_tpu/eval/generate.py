@@ -21,7 +21,8 @@ from groma_tpu.models.groma import GromaModel
 class Generator:
     """Compiled prefill+decode wrapper for a GromaModel."""
 
-    def __init__(self, model: GromaModel, params, max_len: int = 2048):
+    def __init__(self, model: GromaModel, params, max_len: int = 2048,
+                 use_flash: bool = False):
         self.model = model
         self.params = params
         self.max_len = max_len
@@ -31,7 +32,8 @@ class Generator:
             return model.apply(
                 {'params': params}, images, input_ids, region_slot,
                 base_valid, max_len=max_len, refer_boxes=refer_boxes,
-                refer_valid=refer_valid, method=GromaModel.prefill)
+                refer_valid=refer_valid, use_flash=use_flash,
+                method=GromaModel.prefill)
 
         def decode(params, tok, cache, pos):
             return model.apply({'params': params}, tok, cache, pos,

@@ -47,7 +47,7 @@ class QuantGenerator:
     streaming and footprint on top of the weight-only quantization."""
 
     def __init__(self, model: GromaModel, params, qp, max_len: int = 2048,
-                 kv_bits: int = 16):
+                 kv_bits: int = 16, use_flash: bool = False):
         self.model = model
         cfg = model.cfg
         self.cfg = cfg
@@ -72,7 +72,8 @@ class QuantGenerator:
             emb, ids, valid, vis = model.apply(
                 {'params': params}, images, input_ids, region_slot,
                 base_valid, refer_boxes=refer_boxes,
-                refer_valid=refer_valid, method=GromaModel.prepare_stream)
+                refer_valid=refer_valid, use_flash=use_flash,
+                method=GromaModel.prepare_stream)
             pos = jnp.maximum(
                 jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
             if kv_bits == 8:
@@ -82,7 +83,8 @@ class QuantGenerator:
             else:
                 cache = make_kv_cache(cfg.llm, images.shape[0], max_len)
             hidden, cache = quant_llama_forward(qp, cfg.llm, emb, valid,
-                                                pos, cache)
+                                                pos, cache,
+                                                use_flash=use_flash)
             last = jnp.argmax(pos, axis=-1)
             last_h = jnp.take_along_axis(hidden, last[:, None, None],
                                          axis=1)

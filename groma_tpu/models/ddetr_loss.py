@@ -50,15 +50,21 @@ def _matcher_cost(logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid,
 
 
 def _single_stage_loss(logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid,
-                       num_boxes, cfg: DDETRConfig, matcher='hungarian'):
-    """loss_ce / loss_bbox / loss_giou for one prediction set."""
+                       num_boxes, cfg: DDETRConfig, matcher='hungarian',
+                       assign=None):
+    """loss_ce / loss_bbox / loss_giou for one prediction set.
+
+    ``assign`` may be precomputed (ddetr_loss batches every stage's
+    matching into ONE matcher call); when None it is computed here."""
     b, q, ncls = logits.shape
-    cost = _matcher_cost(logits, pred_boxes, tgt_labels, tgt_boxes,
-                         tgt_valid, cfg, alpha=cfg.focal_alpha)
-    # matching is a non-differentiable decision (reference: @torch.no_grad
-    # on the HF matcher)
-    match_fn = hungarian_match if matcher == 'hungarian' else auction_match
-    assign = match_fn(jax.lax.stop_gradient(cost), tgt_valid)
+    if assign is None:
+        cost = _matcher_cost(logits, pred_boxes, tgt_labels, tgt_boxes,
+                             tgt_valid, cfg, alpha=cfg.focal_alpha)
+        # matching is a non-differentiable decision (reference:
+        # @torch.no_grad on the HF matcher)
+        match_fn = hungarian_match if matcher == 'hungarian' \
+            else auction_match
+        assign = match_fn(jax.lax.stop_gradient(cost), tgt_valid)
     assign_safe = jnp.maximum(assign, 0)
 
     # ----- focal classification loss (HF sigmoid_focal_loss semantics:
@@ -121,26 +127,47 @@ def ddetr_loss(outputs: Dict, targets: Dict, cfg: DDETRConfig,
     tgt_valid = targets['valid']
     num_boxes = jnp.maximum(jnp.sum(tgt_valid).astype(jnp.float32), 1.0)
 
-    loss_dict = {}
-    final = _single_stage_loss(outputs['logits'][source],
-                               outputs['pred_boxes'], tgt_labels, tgt_boxes,
-                               tgt_valid, num_boxes, cfg, matcher)
-    loss_dict.update(final)
-
+    # collect every stage (final + aux per decoder layer + encoder) and
+    # run ONE batched matcher call over the stacked (S*B, Q, T) costs —
+    # 13 sequential auction loops per step collapse into one
+    stages = [('', outputs['logits'][source], outputs['pred_boxes'],
+               tgt_labels)]
     if cfg.auxiliary_loss:
         for i, (lg, bx) in enumerate(zip(outputs['aux'][source],
                                          outputs['aux']['boxes'])):
-            aux = _single_stage_loss(lg, bx, tgt_labels, tgt_boxes,
-                                     tgt_valid, num_boxes, cfg, matcher)
-            loss_dict.update({f'{k}_{i}': v for k, v in aux.items()})
-
+            stages.append((f'_{i}', lg, bx, tgt_labels))
     if cfg.two_stage:
         # encoder stage: binary targets (class 0)
-        enc = _single_stage_loss(outputs['enc_outputs_class'],
-                                 outputs['enc_outputs_coord'],
-                                 jnp.zeros_like(tgt_labels), tgt_boxes,
-                                 tgt_valid, num_boxes, cfg, matcher)
-        loss_dict.update({f'{k}_enc': v for k, v in enc.items()})
+        stages.append(('_enc', outputs['enc_outputs_class'],
+                       outputs['enc_outputs_coord'],
+                       jnp.zeros_like(tgt_labels)))
+
+    b, t = tgt_valid.shape
+    match_fn = hungarian_match if matcher == 'hungarian' else auction_match
+    # group stages by query count (the encoder stage proposes over every
+    # encoder token, not num_queries) and run one matcher call per group
+    groups: Dict[int, list] = {}
+    for k, st in enumerate(stages):
+        groups.setdefault(st[1].shape[1], []).append(k)
+    assign = [None] * len(stages)
+    for idxs in groups.values():
+        costs = jnp.stack([
+            _matcher_cost(stages[k][1], stages[k][2], stages[k][3],
+                          tgt_boxes, tgt_valid, cfg, alpha=cfg.focal_alpha)
+            for k in idxs])                                 # (S, B, Q, T)
+        s = len(idxs)
+        a = match_fn(
+            jax.lax.stop_gradient(costs).reshape(s * b, *costs.shape[2:]),
+            jnp.tile(tgt_valid, (s, 1))).reshape(s, b, t)
+        for j, k in enumerate(idxs):
+            assign[k] = a[j]
+
+    loss_dict = {}
+    for k, (suffix, lg, bx, lab) in enumerate(stages):
+        part = _single_stage_loss(lg, bx, lab, tgt_boxes, tgt_valid,
+                                  num_boxes, cfg, matcher,
+                                  assign=assign[k])
+        loss_dict.update({f'{kk}{suffix}': v for kk, v in part.items()})
 
     weights = {'loss_ce': cfg.cls_loss_coefficient,
                'loss_bbox': cfg.bbox_loss_coefficient,

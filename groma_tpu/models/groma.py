@@ -310,18 +310,19 @@ class GromaModel(nn.Module):
 
     def prefill(self, images, input_ids, region_slot, base_valid,
                 max_len: int, refer_boxes=None, refer_valid=None,
-                ground_boxes=None, ground_valid=None):
+                ground_boxes=None, ground_valid=None, use_flash=False):
         """Vision + surgery + first LLM pass, filling a fresh KV cache.
         Returns (last_valid_logits (B, V), cache, vis)."""
         vis = self.vision(images, refer_boxes, refer_valid,
-                          ground_boxes, ground_valid)
+                          ground_boxes, ground_valid, use_flash=use_flash)
         emb, ids, _, valid = self.build_stream(
             input_ids, None, region_slot, base_valid, vis,
             refer_boxes, refer_valid, ground_boxes, ground_valid)
         position_ids = jnp.maximum(_ordinal(valid), 0)
         cache = make_kv_cache(self.cfg.llm, images.shape[0], max_len,
                               dtype=jnp.dtype(self.cfg.llm.dtype))
-        hidden, cache = self.llm(emb, valid, position_ids, cache=cache)
+        hidden, cache = self.llm(emb, valid, position_ids, cache=cache,
+                                 use_flash=use_flash)
         # logits at the last *valid* position of each row
         last_pos = jnp.argmax(position_ids, axis=-1)
         last_hidden = jnp.take_along_axis(
@@ -333,13 +334,14 @@ class GromaModel(nn.Module):
 
     def prepare_stream(self, images, input_ids, region_slot, base_valid,
                        refer_boxes=None, refer_valid=None,
-                       ground_boxes=None, ground_valid=None):
+                       ground_boxes=None, ground_valid=None,
+                       use_flash=False):
         """Vision + surgery only — returns (inputs_embeds, valid, vis).
 
         Lets alternative LLM execution paths (e.g. the int8 weight-only
         decoder in models/llama_quant.py) consume the grounded stream."""
         vis = self.vision(images, refer_boxes, refer_valid,
-                          ground_boxes, ground_valid)
+                          ground_boxes, ground_valid, use_flash=use_flash)
         emb, ids, _, valid = self.build_stream(
             input_ids, None, region_slot, base_valid, vis,
             refer_boxes, refer_valid, ground_boxes, ground_valid)

@@ -102,7 +102,25 @@ class LlamaAttention(nn.Module):
 
         new_cache_kv = None
         prefill_mode = cache_kv is not None and s > 1
-        if cache_kv is not None:
+        vector_index = cache_kv is not None \
+            and jnp.ndim(cache_index) == 1          # per-row write offsets
+        if vector_index:
+            # continuous-batching decode (serve/engine.py): each batch row
+            # sits at its own sequence position.  Scatter the (B, H, 1, D)
+            # new key/value at per-row slots — s must be 1.
+            assert s == 1, 'vector cache_index requires single-token decode'
+            ck, cv = cache_kv
+            bidx = jnp.arange(b)
+            ck = ck.at[layer_idx, bidx, :, cache_index, :].set(
+                k[:, :, 0, :].astype(ck.dtype))
+            cv = cv.at[layer_idx, bidx, :, cache_index, :].set(
+                v[:, :, 0, :].astype(cv.dtype))
+            new_cache_kv = (ck, cv)
+            k = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0,
+                                             keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0,
+                                             keepdims=False)
+        elif cache_kv is not None:
             # tiny in-place update on the (L, B, H, S, D) stacked buffers:
             # XLA aliases the DUS on the carried cache instead of copying
             # the whole 0.5 GB cache per step (the old per-layer unstack +
@@ -145,6 +163,14 @@ class LlamaAttention(nn.Module):
             if cache_kv is None or prefill_mode:
                 causal_ok = kj <= qi + (skv - s)
                 sc = jnp.where(causal_ok[None, None], sc, -1e30)
+            elif vector_index:
+                # per-row positions (continuous batching): the kv mask is
+                # authoritative — rows only ever see slots their own
+                # stream has written (future slots are mask=False), so no
+                # extra causal term is needed; still mask slots past each
+                # row's current index defensively.
+                causal_ok = kj[None] <= cache_index[:, None, None]
+                sc = jnp.where(causal_ok[:, None], sc, -1e30)
             else:
                 # cache slots are written in order, so slot index == global
                 # position: query (cache_index + i) sees slots <= that.
@@ -204,8 +230,13 @@ class LlamaModel(nn.Module):
             # attn_mask marks validity of the *new* tokens (B, s); the
             # layers see the whole fixed cache buffer through its mask.
             s = inputs_embeds.shape[1]
-            kv_mask = jax.lax.dynamic_update_slice(
-                cache['mask'], attn_mask[:, :s], (0, cache['index']))
+            if jnp.ndim(cache['index']) == 1:   # per-row offsets (engine)
+                kv_mask = cache['mask'].at[
+                    jnp.arange(attn_mask.shape[0]),
+                    cache['index']].set(attn_mask[:, 0])
+            else:
+                kv_mask = jax.lax.dynamic_update_slice(
+                    cache['mask'], attn_mask[:, :s], (0, cache['index']))
 
         layer_cls = LlamaLayer
         if self.remat:

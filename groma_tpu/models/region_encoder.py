@@ -76,6 +76,11 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw,
     """
     oh, ow = out_hw
     b, h, w, c = x.shape
+    if (oh, ow) == (h, w):
+        # same-size align-corners bilinear is the identity (torch
+        # F.interpolate included) — skip the two matmuls; the boundary
+        # levels' self-neighbor shuffles hit this every fuse round
+        return x.astype(compute_dtype)
     ah = _align_corners_matrix(oh, h).astype(compute_dtype)
     aw = _align_corners_matrix(ow, w).astype(compute_dtype)
     x = jnp.einsum('oh,bhwc->bowc', ah, x.astype(compute_dtype))

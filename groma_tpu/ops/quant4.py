@@ -84,13 +84,18 @@ def dequantize_weight_int4(qd: dict, dtype=jnp.float32):
 
 def _int4_matmul_kernel(x_ref, w_ref, scale_ref, o_ref, *, block: int):
     """One (K/2, bn) packed strip: unpack nibbles into the two K half
-    planes and accumulate per-K-block scaled dots."""
+    planes and accumulate per-K-block scaled dots.
+
+    The stored nibbles are BIASED (q + 8 in 1..15); instead of
+    subtracting 8 per element on the VPU (two extra passes over the
+    whole weight strip), the dot runs on the biased values and the bias
+    is removed algebraically: x @ (n - 8) = x @ n - 8 * sum(x)."""
     x = x_ref[:]                                   # (M, K) bf16
     packed = w_ref[:].astype(jnp.int32)            # (K/2, bn)
     khalf = packed.shape[0]
     k = 2 * khalf
-    lo = ((packed & 0xF) - 8).astype(jnp.bfloat16)     # rows 0..K/2
-    hi = ((packed >> 4) - 8).astype(jnp.bfloat16)      # rows K/2..K
+    lo = (packed & 0xF).astype(jnp.bfloat16)           # rows 0..K/2 (+8)
+    hi = (packed >> 4).astype(jnp.bfloat16)            # rows K/2..K (+8)
     nblk = k // block
     acc = jnp.zeros((x.shape[0], packed.shape[1]), jnp.float32)
     # per-K-block scaling: scale rows of each half plane by its block's
@@ -109,7 +114,9 @@ def _int4_matmul_kernel(x_ref, w_ref, scale_ref, o_ref, *, block: int):
             d = jax.lax.dot(x[:, s0:s1], plane[s0 - off:s1 - off],
                             preferred_element_type=jnp.float32)
             part = d if part is None else part + d
-        acc = acc + part * sc[None, :]
+        xsum = jnp.sum(x[:, r0:r1].astype(jnp.float32), axis=1,
+                       keepdims=True)               # (M, 1)
+        acc = acc + (part - 8.0 * xsum) * sc[None, :]
     o_ref[:] = acc.astype(o_ref.dtype)
 
 

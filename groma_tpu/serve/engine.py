@@ -1,0 +1,206 @@
+"""Continuous-batching inference engine (slot-based, static shapes).
+
+Goes beyond the reference's serving design: the reference worker handles
+one request at a time behind a semaphore (reference:
+groma/serve/model_worker.py:63,186 — and its model glue was stale LLaVA
+code).  This engine keeps a fixed-capacity batched KV cache of
+``max_slots`` independent streams; new requests prefill (b=1 program)
+into any free slot while the other slots keep decoding — continuous
+batching with ZERO dynamic shapes, the TPU-native equivalent of
+vLLM-style request interleaving:
+
+* one compiled b=1 prefill program (vision + surgery + LLM prefill),
+* one compiled ``max_slots``-wide chunked decode program
+  (``lax.scan`` over ``chunk`` steps; per-row cache indices / positions /
+  done flags — see models/llama.py vector cache_index support),
+* slot insertion is a ``dynamic_update_slice`` of the (L, B, H, S, D)
+  cache at the batch dim, so admission never recompiles anything.
+
+Greedy decode matches the single-request Generator exactly (fp32) —
+asserted by tests/test_engine.py including mid-decode admissions.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from groma_tpu.models.groma import GromaModel
+from groma_tpu.models.llama import make_kv_cache
+
+
+class Session:
+    """Per-request handle: consume ``token_stream()`` until exhaustion."""
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue()
+        self.vis = None            # proposal pool (boxes + mask), set at
+        self.tokens: list = []     # prefill time; grows as chunks arrive
+        self.done = False
+
+    def token_stream(self):
+        """Yields token ids as they are produced; ends at EOS/length."""
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            yield item
+
+
+class BatchEngine:
+    def __init__(self, model: GromaModel, params, max_slots: int = 4,
+                 max_len: Optional[int] = None, eos_id: int = 2,
+                 chunk: int = 8, max_new_tokens: int = 256):
+        self.model = model
+        self.params = params
+        cfg = model.cfg
+        self.eos_id = eos_id
+        self.chunk = chunk
+        self.max_new_tokens = max_new_tokens
+        self.max_slots = max_slots
+        self.max_len = max_len or cfg.max_seq_len + max_new_tokens + 8
+
+        def prefill_one(params, images, input_ids, region_slot, base_valid):
+            return model.apply(
+                {'params': params}, images, input_ids, region_slot,
+                base_valid, max_len=self.max_len,
+                method=GromaModel.prefill)
+
+        def insert(cache, one, slot, write_index):
+            """Copy a b=1 prefill cache into batch row ``slot``."""
+            out = dict(cache)
+            out['k'] = jax.lax.dynamic_update_slice(
+                cache['k'], one['k'], (0, slot, 0, 0, 0))
+            out['v'] = jax.lax.dynamic_update_slice(
+                cache['v'], one['v'], (0, slot, 0, 0, 0))
+            out['mask'] = jax.lax.dynamic_update_slice(
+                cache['mask'], one['mask'], (slot, 0))
+            out['index'] = cache['index'].at[slot].set(write_index)
+            return out
+
+        def decode_chunk(params, cache, tok0, pos0, active, done0):
+            """``chunk`` greedy steps over all slots; returns the emitted
+            (B, chunk) tokens + updated state.  Inactive/done rows feed
+            EOS and freeze their position."""
+
+            def step(carry, _):
+                toks, pos, cache, done = carry
+                logits, cache = model.apply(
+                    {'params': params}, toks[:, None], cache, pos[:, None],
+                    method=GromaModel.decode_step)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                nxt = jnp.where(active & ~done, nxt, self.eos_id)
+                done = done | (nxt == self.eos_id) | ~active
+                pos = pos + (active & ~done).astype(jnp.int32)
+                return (nxt, pos, cache, done), nxt
+
+            (tokN, posN, cache, doneN), out = jax.lax.scan(
+                step, (tok0, pos0, cache, done0), None, length=self.chunk)
+            return cache, jnp.swapaxes(out, 0, 1), tokN, posN, doneN
+
+        self._prefill = jax.jit(prefill_one)
+        self._insert = jax.jit(insert, donate_argnums=(0,))
+        self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
+
+        cache = make_kv_cache(cfg.llm, max_slots, self.max_len,
+                              dtype=jnp.dtype(cfg.llm.dtype))
+        cache['index'] = jnp.zeros((max_slots,), jnp.int32)  # per-row
+        self._cache = cache
+        self._tok = jnp.full((max_slots,), eos_id, jnp.int32)
+        self._pos = jnp.zeros((max_slots,), jnp.int32)
+        self._active = np.zeros((max_slots,), bool)
+        self._done = jnp.ones((max_slots,), bool)
+        self._sessions: list = [None] * max_slots
+        self._emitted = np.zeros((max_slots,), np.int64)
+
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- API
+
+    def submit(self, image, input_ids, region_slot, base_valid) -> Session:
+        """Enqueue one request (unbatched arrays); returns its Session."""
+        sess = Session()
+        self._queue.put((sess, image, input_ids, region_slot, base_valid))
+        return sess
+
+    def close(self):
+        self._stop = True
+        self._thread.join(timeout=30)
+
+    # ------------------------------------------------------------ loop
+
+    def _admit(self):
+        while not self._queue.empty():
+            free = [i for i in range(self.max_slots) if not self._active[i]]
+            if not free:
+                return
+            slot = free[0]
+            try:
+                sess, image, ids, rslot, valid = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            logits, one, vis, next_pos = self._prefill(
+                self.params, jnp.asarray(image)[None],
+                jnp.asarray(ids)[None], jnp.asarray(rslot)[None],
+                jnp.asarray(valid)[None])
+            tok0 = int(jnp.argmax(logits[0]))
+            sess.vis = jax.tree_util.tree_map(
+                np.asarray, {'selected_boxes': vis['selected_boxes'][0],
+                             'selected_mask': vis['selected_mask'][0]})
+            self._cache = self._insert(self._cache, one, slot,
+                                       one['index'])
+            self._tok = self._tok.at[slot].set(tok0)
+            self._pos = self._pos.at[slot].set(int(next_pos[0, 0]))
+            self._done = self._done.at[slot].set(tok0 == self.eos_id)
+            self._active[slot] = True
+            self._emitted[slot] = 1
+            self._sessions[slot] = sess
+            sess.tokens.append(tok0)
+            sess._q.put(tok0)
+            if tok0 == self.eos_id:
+                self._finish(slot)
+
+    def _finish(self, slot):
+        sess = self._sessions[slot]
+        if sess is not None:
+            sess.done = True
+            sess._q.put(None)
+        self._sessions[slot] = None
+        self._active[slot] = False
+
+    def _loop(self):
+        import time
+        while not self._stop:
+            self._admit()
+            if not self._active.any():
+                time.sleep(0.002)
+                continue
+            active_j = jnp.asarray(self._active)
+            self._cache, out, self._tok, self._pos, self._done = \
+                self._decode_chunk(self.params, self._cache, self._tok,
+                                   self._pos, active_j, self._done)
+            out_np = np.asarray(out)
+            done_np = np.asarray(self._done)
+            for slot in range(self.max_slots):
+                if not self._active[slot]:
+                    continue
+                sess = self._sessions[slot]
+                for t in out_np[slot]:
+                    t = int(t)
+                    sess.tokens.append(t)
+                    sess._q.put(t)
+                    self._emitted[slot] += 1
+                    if t == self.eos_id:
+                        break
+                hit_eos = self.eos_id in out_np[slot].tolist()
+                if hit_eos or done_np[slot] \
+                        or self._emitted[slot] >= self.max_new_tokens:
+                    self._finish(slot)

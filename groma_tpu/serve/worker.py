@@ -25,7 +25,8 @@ class ModelWorker:
     def __init__(self, model_dir: str, tokenizer_path=None,
                  worker_name: str = 'groma-worker',
                  model_name: str = 'groma', limit: int = 2,
-                 controller_addr: str = ''):
+                 controller_addr: str = '', use_engine: bool = False,
+                 engine_slots: int = 4):
         from groma_tpu.checkpoint.loader import load_groma
         from groma_tpu.data.tokenizer import load_tokenizer
         from groma_tpu.data.datasets.base import VLDataSpec
@@ -44,8 +45,19 @@ class ModelWorker:
             max_region_num=self.cfg.max_region_num,
             max_seq_len=self.cfg.max_seq_len,
             image_size=self.cfg.perceiver.image_size)
-        self.generator = Generator(self.model, self.params,
-                                   max_len=self.cfg.max_seq_len + 64)
+        self.engine = None
+        if use_engine:
+            # continuous batching: concurrent requests share the decode
+            # step through slot interleaving (serve/engine.py) — true
+            # per-token streaming, no per-request serialization
+            from groma_tpu.serve.engine import BatchEngine
+            self.engine = BatchEngine(self.model, self.params,
+                                      max_slots=engine_slots,
+                                      max_len=self.cfg.max_seq_len + 64,
+                                      eos_id=self.tokenizer.sp.eos)
+            limit = max(limit, engine_slots)
+        self.generator = None if use_engine else Generator(
+            self.model, self.params, max_len=self.cfg.max_seq_len + 64)
         self.worker_name = worker_name
         self.model_name = model_name
         self.semaphore = threading.Semaphore(limit)
@@ -117,20 +129,43 @@ class ModelWorker:
                 max_new = int(request.get('max_new_tokens', 256))
                 chunk = int(request.get('stream_chunk', 16))
                 collected = []
-                vis = None
                 eos = self.tokenizer.sp.eos
-                tokens, vis = self.generator.generate(
-                    jnp.asarray(image[None]),
-                    jnp.asarray(t['input_ids'][None]),
-                    jnp.asarray(t['region_slot'][None]),
-                    jnp.asarray(t['valid'][None]),
-                    max_new_tokens=max_new, eos_id=eos,
-                    temperature=float(request.get('temperature', 0.0)))
-                row = [int(x) for x in tokens[0]]
-                for i in range(0, len(row), chunk):
-                    collected = [x for x in row[:i + chunk] if x != eos]
-                    yield {'text': self.tokenizer.decode(collected),
-                           'error_code': 0}
+                if self.engine is not None:
+                    # continuous-batching path: tokens stream out as the
+                    # engine's decode chunks land; concurrent requests
+                    # interleave in the shared cache
+                    sess = self.engine.submit(
+                        image, t['input_ids'], t['region_slot'],
+                        t['valid'])
+                    n = 0
+                    for tk in sess.token_stream():
+                        if tk != eos:
+                            collected.append(tk)
+                        n += 1
+                        if n % chunk == 0:
+                            yield {'text':
+                                   self.tokenizer.decode(collected),
+                                   'error_code': 0}
+                        if n >= max_new:
+                            break
+                    row_all = list(sess.tokens)
+                    vis = {'selected_boxes': sess.vis['selected_boxes']
+                           [None], 'selected_mask':
+                           sess.vis['selected_mask'][None]}
+                    tokens = np.asarray([row_all], np.int32)
+                else:
+                    tokens, vis = self.generator.generate(
+                        jnp.asarray(image[None]),
+                        jnp.asarray(t['input_ids'][None]),
+                        jnp.asarray(t['region_slot'][None]),
+                        jnp.asarray(t['valid'][None]),
+                        max_new_tokens=max_new, eos_id=eos,
+                        temperature=float(request.get('temperature', 0.0)))
+                    row = [int(x) for x in tokens[0]]
+                    for i in range(0, len(row), chunk):
+                        collected = [x for x in row[:i + chunk] if x != eos]
+                        yield {'text': self.tokenizer.decode(collected),
+                               'error_code': 0}
                 ks = parse_region_tokens(
                     tokens, self.tokenizer.sp.box_idx_start)[0]
                 cap = vis['selected_mask'].shape[1]
@@ -180,6 +215,9 @@ def main():
     ap.add_argument('--model-dir', default=None)
     ap.add_argument('--tiny', action='store_true',
                     help='random-weight tiny model (serving smoke test)')
+    ap.add_argument('--engine', action='store_true',
+                    help='continuous-batching engine (serve/engine.py)')
+    ap.add_argument('--engine-slots', type=int, default=4)
     ap.add_argument('--host', default='0.0.0.0')
     ap.add_argument('--port', type=int, default=21002)
     ap.add_argument('--controller-address', default='')
@@ -191,7 +229,8 @@ def main():
         ap.error('--model-dir or --tiny is required')
     worker = ModelWorker(model_dir, worker_name=a.worker_name,
                          limit=a.limit_model_concurrency,
-                         controller_addr=a.controller_address)
+                         controller_addr=a.controller_address,
+                         use_engine=a.engine, engine_slots=a.engine_slots)
     httpd = ThreadingHTTPServer((a.host, a.port), make_handler(worker))
     httpd.serve_forever()
 

@@ -1,0 +1,92 @@
+"""Continuous-batching engine vs the single-request Generator.
+
+The engine interleaves independent streams in a fixed-slot batched cache
+(serve/engine.py); with greedy fp32 decoding its outputs must be
+IDENTICAL to running each request alone through eval/generate.Generator —
+including for requests admitted mid-decode of other requests.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from groma_tpu.config import tiny_groma_config
+from groma_tpu.data.datasets.base import VLDataSpec
+from groma_tpu.data.tokenizer import StubTokenizer
+from groma_tpu.eval.generate import Generator
+from groma_tpu.eval.rec import build_rec_prompt
+from groma_tpu.models.groma import GromaModel
+from groma_tpu.serve.engine import BatchEngine
+
+CFG = tiny_groma_config()
+SPEC = VLDataSpec(num_image_tokens=CFG.num_image_tokens,
+                  max_region_num=CFG.max_region_num,
+                  max_seq_len=CFG.max_seq_len,
+                  image_size=CFG.perceiver.image_size)
+MAX_NEW = 6
+
+
+def _requests(rng, n):
+    tok = StubTokenizer(base_vocab=CFG.llm.vocab_size)
+    reqs = []
+    for i in range(n):
+        t = build_rec_prompt(f'thing {i}', tok, SPEC)
+        img = rng.standard_normal(
+            (CFG.perceiver.image_size,) * 2 + (3,)).astype(np.float32)
+        reqs.append((img, t['input_ids'], t['region_slot'], t['valid']))
+    return tok, reqs
+
+
+def test_engine_matches_generator_with_mid_decode_admission(rng):
+    model = GromaModel(CFG)
+    tok, reqs = _requests(rng, 3)
+    img0 = jnp.asarray(reqs[0][0])[None]
+    params = model.init(
+        jax.random.PRNGKey(0), images=img0,
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+
+    # ground truth: each request alone, greedy
+    gen = Generator(model, params, max_len=CFG.max_seq_len + MAX_NEW + 8)
+    singles = []
+    for (img, ids, rslot, valid) in reqs:
+        toks, vis = gen.generate(
+            jnp.asarray(img)[None], jnp.asarray(ids)[None],
+            jnp.asarray(rslot)[None], jnp.asarray(valid)[None],
+            max_new_tokens=MAX_NEW, eos_id=tok.sp.eos)
+        singles.append((list(int(x) for x in toks[0]), vis))
+
+    eng = BatchEngine(model, params, max_slots=2,
+                      max_len=CFG.max_seq_len + MAX_NEW + 8,
+                      eos_id=tok.sp.eos, chunk=2, max_new_tokens=MAX_NEW)
+    try:
+        s0 = eng.submit(*reqs[0])
+        s1 = eng.submit(*reqs[1])
+        # let the first two start decoding, then admit a third (only 2
+        # slots: it must wait for a free slot and still decode correctly)
+        time.sleep(0.5)
+        s2 = eng.submit(*reqs[2])
+        outs = []
+        for s in (s0, s1, s2):
+            got = [t for t in s.token_stream()]
+            outs.append(got)
+    finally:
+        eng.close()
+
+    for i, (got, (want, vis_want)) in enumerate(zip(outs, singles)):
+        # generator rows may carry trailing eos padding; compare up to
+        # and including the first eos (or MAX_NEW tokens)
+        def trim(seq):
+            if tok.sp.eos in seq:
+                return seq[:seq.index(tok.sp.eos) + 1]
+            return seq[:MAX_NEW]
+        assert trim(got) == trim(want), (i, got, want)
+
+    # the proposal pool travels with the session
+    np.testing.assert_allclose(
+        np.asarray(outs is not None and s0.vis['selected_boxes']),
+        np.asarray(singles[0][1]['selected_boxes'][0]), atol=1e-5)
