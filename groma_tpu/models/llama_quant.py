@@ -170,8 +170,14 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
     x = inputs_embeds.astype(dtype)
     b, s, _ = x.shape
 
+    vector_index = cache is not None and jnp.ndim(cache['index']) == 1
     kv_mask = attn_mask
-    if cache is not None:
+    if vector_index:
+        # per-row positions (continuous-batching engine); s must be 1
+        assert s == 1, 'vector cache index requires single-token decode'
+        kv_mask = cache['mask'].at[jnp.arange(b), cache['index']].set(
+            attn_mask[:, 0])
+    elif cache is not None:
         kv_mask = jax.lax.dynamic_update_slice(
             cache['mask'], attn_mask[:, :s], (0, cache['index']))
 
@@ -198,11 +204,19 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
         skv = ck.shape[3]
         qi = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 0)
         kj = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 1)
-        causal_ok = kj <= qi + cache_index
+        if vector_index:
+            # per-row positions: (B, 1, skv), s == 1
+            causal_ok = kj[None] <= cache_index[:, None, None]
+        else:
+            causal_ok = kj <= qi + cache_index
         amask = kv_mask
     neg = jnp.float32(-1e30)
-    mask_bias = jnp.where(
-        causal_ok[None, None] & amask[:, None, None, :], 0.0, neg)
+    if jnp.ndim(causal_ok) == 3:
+        mask_bias = jnp.where(
+            causal_ok[:, None] & amask[:, None, None, :], 0.0, neg)
+    else:
+        mask_bias = jnp.where(
+            causal_ok[None, None] & amask[:, None, None, :], 0.0, neg)
 
     for i, lp in enumerate(qp['layers']):
         h = rms_norm(x, lp['input_layernorm'], cfg.rms_norm_eps)
@@ -215,7 +229,16 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
         k = apply_rope(k.astype(dtype), cos, sin)
         v = v.astype(dtype)
 
-        if quant_kv:
+        if quant_kv and vector_index:
+            kq8, ksc = _quantize_tokens(k)
+            vq8, vsc = _quantize_tokens(v)
+            bidx = jnp.arange(b)
+            idx = cache_index
+            ck = ck.at[i, bidx, :, idx, :].set(kq8[:, :, 0, :])
+            cv = cv.at[i, bidx, :, idx, :].set(vq8[:, :, 0, :])
+            cks = cks.at[i, bidx, :, idx].set(ksc[:, :, 0])
+            cvs = cvs.at[i, bidx, :, idx].set(vsc[:, :, 0])
+        elif quant_kv:
             # int8 KV: quantize this step's keys/values per (b, head,
             # position) and update the int8 planes + scale planes
             kq8, ksc = _quantize_tokens(k)
@@ -228,6 +251,13 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
                 cks, ksc[None], (i, 0, 0, cache_index))
             cvs = jax.lax.dynamic_update_slice(
                 cvs, vsc[None], (i, 0, 0, cache_index))
+        elif cache is not None and vector_index:
+            bidx = jnp.arange(b)
+            idx = cache_index
+            ck = ck.at[i, bidx, :, idx, :].set(
+                k[:, :, 0, :].astype(ck.dtype))
+            cv = cv.at[i, bidx, :, idx, :].set(
+                v[:, :, 0, :].astype(cv.dtype))
         elif cache is not None:
             # tiny in-place update on the (L, B, H, S, D) stacked carry —
             # no per-layer unstack/restack (the old path copied the whole

@@ -53,11 +53,18 @@ class Session:
 
 
 class BatchEngine:
+    """``qp`` (a quantize_groma_llm tree) switches the LLM side to the
+    weight-only int8/int4 path — the production single-chip configuration
+    (bf16 7B weights + cache do not fit 16 GB); ``kv_bits=8`` additionally
+    stores the shared cache as int8."""
+
     def __init__(self, model: GromaModel, params, max_slots: int = 4,
                  max_len: Optional[int] = None, eos_id: int = 2,
-                 chunk: int = 8, max_new_tokens: int = 256):
+                 chunk: int = 8, max_new_tokens: int = 256,
+                 qp: Optional[dict] = None, kv_bits: int = 16):
         self.model = model
         self.params = params
+        self.qp = qp
         cfg = model.cfg
         self.eos_id = eos_id
         self.chunk = chunk
@@ -65,11 +72,53 @@ class BatchEngine:
         self.max_slots = max_slots
         self.max_len = max_len or cfg.max_seq_len + max_new_tokens + 8
 
-        def prefill_one(params, images, input_ids, region_slot, base_valid):
-            return model.apply(
-                {'params': params}, images, input_ids, region_slot,
-                base_valid, max_len=self.max_len,
-                method=GromaModel.prefill)
+        if qp is not None:
+            from groma_tpu.models.llama_quant import (quant_llama_forward,
+                                                      quant_llama_logits)
+            sp_base = cfg.llm.vocab_size
+
+            def q_logits(hidden):
+                base = quant_llama_logits(qp, hidden)
+                extra = jnp.einsum(
+                    'bsd,dv->bsv', hidden.astype(jnp.bfloat16),
+                    qp['extra_lm_head'],
+                    preferred_element_type=jnp.float32)
+                return jnp.concatenate([base, extra], axis=-1)
+
+            def q_embed(ids):
+                is_new = ids >= sp_base
+                base = qp['embed_tokens'][jnp.where(is_new, 0, ids)]
+                new = qp['new_input_embs'][
+                    jnp.where(is_new, ids - sp_base, 0)]
+                return jnp.where(is_new[..., None], new, base)
+
+            def prefill_one(params, images, input_ids, region_slot,
+                            base_valid):
+                emb, _, valid, vis = model.apply(
+                    {'params': params}, images, input_ids, region_slot,
+                    base_valid, method=GromaModel.prepare_stream)
+                pos = jnp.maximum(
+                    jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
+                cache = self._fresh_cache(1)
+                cache['index'] = jnp.zeros((), jnp.int32)  # b=1: scalar
+                hidden, cache = quant_llama_forward(
+                    qp, cfg.llm, emb, valid, pos, cache)
+                last = jnp.argmax(pos, axis=-1)
+                last_h = jnp.take_along_axis(
+                    hidden, last[:, None, None], axis=1)
+                next_pos = jnp.take_along_axis(pos, last[:, None], -1) + 1
+                return (q_logits(last_h)[:, 0], cache, vis, next_pos)
+
+            self._q_forward = quant_llama_forward
+            self._q_logits = q_logits
+            self._q_embed = q_embed
+        else:
+            def prefill_one(params, images, input_ids, region_slot,
+                            base_valid):
+                return model.apply(
+                    {'params': params}, images, input_ids, region_slot,
+                    base_valid, max_len=self.max_len,
+                    method=GromaModel.prefill)
 
         def insert(cache, one, slot, write_index):
             """Copy a b=1 prefill cache into batch row ``slot``."""
@@ -78,6 +127,10 @@ class BatchEngine:
                 cache['k'], one['k'], (0, slot, 0, 0, 0))
             out['v'] = jax.lax.dynamic_update_slice(
                 cache['v'], one['v'], (0, slot, 0, 0, 0))
+            for key in ('k_scale', 'v_scale'):
+                if key in cache:
+                    out[key] = jax.lax.dynamic_update_slice(
+                        cache[key], one[key], (0, slot, 0, 0))
             out['mask'] = jax.lax.dynamic_update_slice(
                 cache['mask'], one['mask'], (slot, 0))
             out['index'] = cache['index'].at[slot].set(write_index)
@@ -90,9 +143,17 @@ class BatchEngine:
 
             def step(carry, _):
                 toks, pos, cache, done = carry
-                logits, cache = model.apply(
-                    {'params': params}, toks[:, None], cache, pos[:, None],
-                    method=GromaModel.decode_step)
+                if self.qp is not None:
+                    emb = self._q_embed(toks[:, None])
+                    hidden, cache = self._q_forward(
+                        self.qp, cfg.llm, emb,
+                        jnp.ones_like(toks[:, None], dtype=bool),
+                        pos[:, None], cache)
+                    logits = self._q_logits(hidden)[:, -1]
+                else:
+                    logits, cache = model.apply(
+                        {'params': params}, toks[:, None], cache,
+                        pos[:, None], method=GromaModel.decode_step)
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 nxt = jnp.where(active & ~done, nxt, self.eos_id)
                 done = done | (nxt == self.eos_id) | ~active
@@ -103,12 +164,12 @@ class BatchEngine:
                 step, (tok0, pos0, cache, done0), None, length=self.chunk)
             return cache, jnp.swapaxes(out, 0, 1), tokN, posN, doneN
 
+        self._kv_bits = kv_bits
         self._prefill = jax.jit(prefill_one)
         self._insert = jax.jit(insert, donate_argnums=(0,))
         self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
 
-        cache = make_kv_cache(cfg.llm, max_slots, self.max_len,
-                              dtype=jnp.dtype(cfg.llm.dtype))
+        cache = self._fresh_cache(max_slots)
         cache['index'] = jnp.zeros((max_slots,), jnp.int32)  # per-row
         self._cache = cache
         self._tok = jnp.full((max_slots,), eos_id, jnp.int32)
@@ -122,6 +183,18 @@ class BatchEngine:
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        # stop the loop before interpreter teardown (a daemon thread dying
+        # inside a jax dispatch crashes the runtime's atexit path)
+        import atexit
+        atexit.register(self.close)
+
+    def _fresh_cache(self, batch: int) -> dict:
+        cfg = self.model.cfg
+        if self.qp is not None and self._kv_bits == 8:
+            from groma_tpu.models.llama_quant import make_quant_kv_cache
+            return make_quant_kv_cache(cfg.llm, batch, self.max_len)
+        return make_kv_cache(cfg.llm, batch, self.max_len,
+                             dtype=jnp.dtype(cfg.llm.dtype))
 
     # ------------------------------------------------------------- API
 
@@ -133,7 +206,8 @@ class BatchEngine:
 
     def close(self):
         self._stop = True
-        self._thread.join(timeout=30)
+        if self._thread.is_alive():
+            self._thread.join(timeout=30)
 
     # ------------------------------------------------------------ loop
 

@@ -90,3 +90,55 @@ def test_engine_matches_generator_with_mid_decode_admission(rng):
     np.testing.assert_allclose(
         np.asarray(outs is not None and s0.vis['selected_boxes']),
         np.asarray(singles[0][1]['selected_boxes'][0]), atol=1e-5)
+
+
+@pytest.mark.parametrize('kv_bits', [16, 8])
+def test_quant_engine_matches_quant_generator(rng, kv_bits):
+    """int8-LLM continuous batching (the production single-chip serving
+    config) matches QuantGenerator per request; kv_bits=8 additionally
+    runs the int8 KV cache (first token exact; later tokens may differ
+    by KV-quantization noise on a random tiny model, so only the bf16-KV
+    variant asserts full equality)."""
+    from groma_tpu.eval.generate_quant import (QuantGenerator,
+                                               quantize_groma_llm)
+
+    model = GromaModel(CFG)
+    tok, reqs = _requests(rng, 2)
+    params = model.init(
+        jax.random.PRNGKey(0), images=jnp.asarray(reqs[0][0])[None],
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+    qp = quantize_groma_llm(params, CFG)
+
+    qg = QuantGenerator(model, params, qp,
+                        max_len=CFG.max_seq_len + MAX_NEW + 8,
+                        kv_bits=kv_bits)
+    singles = []
+    for (img, ids, rslot, valid) in reqs:
+        toks, _ = qg.generate(
+            jnp.asarray(img)[None], jnp.asarray(ids)[None],
+            jnp.asarray(rslot)[None], jnp.asarray(valid)[None],
+            max_new_tokens=MAX_NEW, eos_id=tok.sp.eos)
+        singles.append([int(x) for x in toks[0]])
+
+    eng = BatchEngine(model, params, max_slots=2,
+                      max_len=CFG.max_seq_len + MAX_NEW + 8,
+                      eos_id=tok.sp.eos, chunk=2, max_new_tokens=MAX_NEW,
+                      qp=qp, kv_bits=kv_bits)
+    try:
+        sessions = [eng.submit(*r) for r in reqs]
+        outs = [[t for t in s.token_stream()] for s in sessions]
+    finally:
+        eng.close()
+
+    def trim(seq):
+        if tok.sp.eos in seq:
+            return seq[:seq.index(tok.sp.eos) + 1]
+        return seq[:MAX_NEW]
+
+    for got, want in zip(outs, singles):
+        if kv_bits == 16:
+            assert trim(got) == trim(want), (got, want)
+        else:
+            assert got[0] == want[0]     # prefill logits are exact

@@ -63,3 +63,46 @@ def test_sharded_llama_matches_single_device(rng):
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_decode_matches_single_device(rng):
+    """Serving at scale: prefill + greedy KV-cache decode under a
+    (dp, fsdp, tp) mesh produces the SAME tokens as single-device —
+    GSPMD shards the cache/attention across tp without any code change
+    (the multi-chip analogue of the serve path; train has dryrun)."""
+    import jax
+    import jax.numpy as jnp
+    from groma_tpu.config import LlamaConfig
+    from groma_tpu.models.llama import LlamaForCausalLM, make_kv_cache
+    from groma_tpu.parallel.mesh import make_mesh, shard_params
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=4,
+                      dtype='float32')
+    model = LlamaForCausalLM(cfg)
+    ids = jnp.asarray(rng.integers(0, 128, (2, 6)))
+    params = model.init(jax.random.PRNGKey(0), ids)['params']
+
+    def generate(params, ids, steps=5):
+        cache = make_kv_cache(cfg, ids.shape[0], 16)
+        logits, cache = model.apply({'params': params}, ids, cache=cache)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+
+        def step(carry, i):
+            tok, cache = carry
+            lg, cache = model.apply(
+                {'params': params}, tok[:, None], cache=cache,
+                position_ids=jnp.full_like(tok[:, None], 6) + i)
+            nxt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+            return (nxt, cache), nxt
+
+        (_, _), toks = jax.lax.scan(step, (tok, cache), jnp.arange(steps))
+        return jnp.concatenate([tok[None], toks], 0).T
+
+    want = np.asarray(jax.jit(generate)(params, ids))
+
+    mesh = make_mesh(dp=2, tp=2)
+    with mesh:
+        sp = shard_params(params, mesh, fsdp_min_size=2 ** 10)
+        got = np.asarray(jax.jit(generate)(sp, ids))
+    np.testing.assert_array_equal(got, want)
