@@ -16,8 +16,10 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--model-dir', required=True,
+    ap.add_argument('--model-dir', default=None,
                     help='perceiver checkpoint (HF CustomDDETR format)')
+    ap.add_argument('--tiny', action='store_true',
+                    help='random-weight tiny detector (smoke test)')
     ap.add_argument('--image-file', required=True)
     ap.add_argument('--output-image', default='ddetr_output.jpg')
     ap.add_argument('--nms-thres', type=float, default=0.8)
@@ -37,22 +39,31 @@ def main():
     from groma_tpu.ops.bbox import cxcywh_to_xyxy
     from groma_tpu.ops.nms import nms
 
-    cfg_d = load_config_json(args.model_dir)
-    cfg = hf_groma_config({'perceiver_cfg': cfg_d}).perceiver
-    sd = load_state_dict(args.model_dir)
-    params = import_perceiver(
-        sd, cfg.vit.num_layers, cfg.ddetr.encoder_layers,
-        cfg.ddetr.decoder_layers, cfg.ddetr.num_feature_levels,
-        patch_size=cfg.vit.patch_size,
-        deploy_grid=cfg.image_size // cfg.vit.patch_size)
+    if args.tiny:
+        from groma_tpu.config import tiny_groma_config
+        cfg = tiny_groma_config().perceiver
+        params = None
+    elif args.model_dir:
+        cfg_d = load_config_json(args.model_dir)
+        cfg = hf_groma_config({'perceiver_cfg': cfg_d}).perceiver
+        sd = load_state_dict(args.model_dir)
+        params = import_perceiver(
+            sd, cfg.vit.num_layers, cfg.ddetr.encoder_layers,
+            cfg.ddetr.decoder_layers, cfg.ddetr.num_feature_levels,
+            patch_size=cfg.vit.patch_size,
+            deploy_grid=cfg.image_size // cfg.vit.patch_size)
+    else:
+        ap.error('--model-dir or --tiny is required')
 
     raw = load_image(args.image_file)
     img448, _ = resize(raw, (cfg.image_size, cfg.image_size))
     img = jnp.asarray(normalize(img448)[None])
 
     model = Perceiver(cfg)
+    if params is None:
+        params = model.init(jax.random.PRNGKey(0), img)['params']
     out = jax.jit(lambda p, im: model.apply({'params': p}, im))(
-        {'params': params}['params'], img)
+        params, img)
     boxes = out['pred_boxes'][0]
     s_coco = jax.nn.sigmoid(out['logits']['coco'][0, :, 0])
     s_sa1b = jax.nn.sigmoid(out['logits']['sa1b'][0, :, 0])

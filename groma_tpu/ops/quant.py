@@ -109,15 +109,19 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
     s_p = jnp.pad(scale.astype(jnp.float32), (0, n_pad - n))[None, :]
     x_p = jnp.pad(x, ((0, m_pad2), (0, 0)))
 
+    # grid order (n outer, m inner): the int8 weight strip stays RESIDENT
+    # across the whole m sweep (same block index -> no re-fetch), so
+    # multi-block-m calls (prefill: m ~ 6k) stream each weight byte from
+    # HBM exactly once instead of m/block_m times
     out = pl.pallas_call(
         functools.partial(_int8_matmul_kernel, block_n=block_n),
-        grid=((m + m_pad2) // block_m, n_pad // block_n),
+        grid=(n_pad // block_n, (m + m_pad2) // block_m),
         in_specs=[
-            pl.BlockSpec((block_m, k), lambda i, j: (i, 0)),
-            pl.BlockSpec((k, block_n), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((block_m, k), lambda j, i: (i, 0)),
+            pl.BlockSpec((k, block_n), lambda j, i: (0, j)),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j)),
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m + m_pad2, n_pad), x.dtype),
         interpret=interpret,
     )(x_p.astype(jnp.bfloat16) if not interpret else x_p, w_p, s_p)

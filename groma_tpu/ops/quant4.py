@@ -152,15 +152,17 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     w_p = jnp.pad(packed, ((0, 0), (0, n_pad))) if n_pad else packed
     s_p = jnp.pad(scale, ((0, 0), (0, n_pad))) if n_pad else scale
 
+    # n-outer grid: the packed strip stays resident across the m sweep
+    # (see quant.py int8_matmul) — one HBM pass over the weights per call
     out = pl.pallas_call(
         functools.partial(_int4_matmul_kernel, block=block),
-        grid=((m + m_pad) // bm, (n + n_pad) // bn),
+        grid=((n + n_pad) // bn, (m + m_pad) // bm),
         in_specs=[
-            pl.BlockSpec((bm, k2), lambda i, j: (i, 0)),
-            pl.BlockSpec((khalf, bn), lambda i, j: (0, j)),
-            pl.BlockSpec((nblk, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((bm, k2), lambda j, i: (i, 0)),
+            pl.BlockSpec((khalf, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((nblk, bn), lambda j, i: (0, j)),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m + m_pad, n + n_pad), x.dtype),
         interpret=interpret,
     )(x.astype(jnp.bfloat16), w_p, s_p)

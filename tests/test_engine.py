@@ -88,7 +88,7 @@ def test_engine_matches_generator_with_mid_decode_admission(rng):
 
     # the proposal pool travels with the session
     np.testing.assert_allclose(
-        np.asarray(outs is not None and s0.vis['selected_boxes']),
+        np.asarray(s0.vis['selected_boxes']),
         np.asarray(singles[0][1]['selected_boxes'][0]), atol=1e-5)
 
 
