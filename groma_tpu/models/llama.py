@@ -25,6 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from groma_tpu.config import LlamaConfig
 from groma_tpu.ops.flash_attention import flash_attention
 
@@ -181,6 +183,11 @@ class LlamaAttention(nn.Module):
                              preferred_element_type=jnp.float32
                              ).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, c.num_heads * hd)
+        # named for the selective remat policy (LlamaModel remat_policy=
+        # 'attn'): saving this (B, S, H) tensor skips re-running the
+        # flash-attention kernel in the backward remat pass at the cost
+        # of S*H*2 bytes/layer of saved activation
+        out = checkpoint_name(out, 'attn_out')
         out = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
                        name='o_proj')(out)
         return out, new_cache_kv
@@ -215,6 +222,9 @@ class LlamaModel(nn.Module):
     groma/model/groma.py:359-369)."""
     cfg: LlamaConfig
     remat: bool = False
+    remat_policy: str = 'full'   # 'full' | 'attn' (save attention
+    # outputs, recompute everything else — skips the flash-attention
+    # recompute in the backward pass for ~S*H*2 bytes/layer)
 
     @nn.compact
     def __call__(self, inputs_embeds, attn_mask, position_ids,
@@ -242,8 +252,12 @@ class LlamaModel(nn.Module):
         if self.remat:
             # static_argnums counts self as 0: layer_idx/use_flash are
             # positional 7/8
+            policy = None
+            if self.remat_policy == 'attn':
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    'attn_out')
             layer_cls = nn.remat(LlamaLayer, static_argnums=(7, 8),
-                                 prevent_cse=False)
+                                 prevent_cse=False, policy=policy)
         cache_kv = (cache['k'], cache['v']) if cache is not None else None
         cache_index = cache['index'] if cache is not None else None
         for i in range(c.num_layers):
@@ -267,6 +281,7 @@ class LlamaModel(nn.Module):
 class LlamaForCausalLM(nn.Module):
     cfg: LlamaConfig
     remat: bool = False
+    remat_policy: str = 'full'
 
     @nn.compact
     def __call__(self, input_ids, attn_mask=None, position_ids=None,
@@ -281,7 +296,9 @@ class LlamaForCausalLM(nn.Module):
             attn_mask = jnp.ones((b, s), bool)
         if position_ids is None:
             position_ids = jnp.cumsum(attn_mask, axis=-1) - 1
-        h, new_cache = LlamaModel(c, remat=self.remat, name='model')(
+        h, new_cache = LlamaModel(c, remat=self.remat,
+                                  remat_policy=self.remat_policy,
+                                  name='model')(
             x, attn_mask, position_ids, cache, use_flash)
         logits = nn.Dense(c.vocab_size, use_bias=False, dtype=dtype,
                           name='lm_head')(h)

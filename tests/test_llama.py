@@ -95,3 +95,34 @@ def test_llama_midsequence_padding_equals_compacted(rng):
                                  jnp.ones((1, 7), bool))
     np.testing.assert_allclose(np.asarray(out_pad)[mask],
                                np.asarray(out_compact)[0], atol=2e-4)
+
+
+def test_remat_policies_equal_gradients(rng):
+    """remat=True with policy 'full' vs 'attn' (save attention outputs)
+    must produce identical loss and gradients — the policy only changes
+    what the backward pass recomputes."""
+    import jax
+
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, 12)))
+    labels = jnp.asarray(rng.integers(0, 128, size=(2, 12)))
+
+    def loss_and_grad(policy):
+        model = LlamaForCausalLM(CFG, remat=True, remat_policy=policy)
+        params = model.init(jax.random.PRNGKey(0), ids[:, :4])['params']
+
+        def loss_fn(p):
+            logits, _ = model.apply({'params': p}, ids)
+            logp = jax.nn.log_softmax(logits[:, :-1])
+            nll = -jnp.take_along_axis(logp, labels[:, 1:, None], -1)
+            return nll.mean()
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    loss_f, grad_f = loss_and_grad('full')
+    loss_a, grad_a = loss_and_grad('attn')
+    np.testing.assert_allclose(float(loss_f), float(loss_a), rtol=1e-6)
+    flat_f = jax.tree_util.tree_leaves(grad_f)
+    flat_a = jax.tree_util.tree_leaves(grad_a)
+    for a, b in zip(flat_f, flat_a):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
