@@ -67,12 +67,18 @@ def apply_rope(x, cos, sin):
 
 def make_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
                   dtype=None) -> dict:
+    """KV cache as PER-LAYER leaves (lists of (B, H, S, D)), not stacked
+    (L, B, H, S, D) planes: each layer's in-place update then aliases its
+    own ~tens-of-MB buffer inside scanned decode loops.  With stacked
+    planes XLA copies the full multi-GB plane whenever it cannot prove
+    the carry aliases — measured 163 ms/step at 7B B=8 vs 16 ms with
+    per-layer leaves (benchmarks/exp_b8_full.py)."""
     dtype = dtype or jnp.dtype(cfg.dtype)
     hd = cfg.hidden_size // cfg.num_heads
-    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, hd)
+    shape = (batch, cfg.num_kv_heads, max_len, hd)
     return {
-        'k': jnp.zeros(shape, dtype),
-        'v': jnp.zeros(shape, dtype),
+        'k': [jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
+        'v': [jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
         'mask': jnp.zeros((batch, max_len), dtype=bool),
         'index': jnp.zeros((), jnp.int32),
     }
@@ -111,35 +117,26 @@ class LlamaAttention(nn.Module):
             # sits at its own sequence position.  Scatter the (B, H, 1, D)
             # new key/value at per-row slots — s must be 1.
             assert s == 1, 'vector cache_index requires single-token decode'
-            ck, cv = cache_kv
+            ck, cv = cache_kv                      # this layer's (B,H,S,D)
             bidx = jnp.arange(b)
-            ck = ck.at[layer_idx, bidx, :, cache_index, :].set(
+            ck = ck.at[bidx, :, cache_index, :].set(
                 k[:, :, 0, :].astype(ck.dtype))
-            cv = cv.at[layer_idx, bidx, :, cache_index, :].set(
+            cv = cv.at[bidx, :, cache_index, :].set(
                 v[:, :, 0, :].astype(cv.dtype))
             new_cache_kv = (ck, cv)
-            k = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0,
-                                             keepdims=False)
-            v = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0,
-                                             keepdims=False)
+            k, v = ck, cv
         elif cache_kv is not None:
-            # tiny in-place update on the (L, B, H, S, D) stacked buffers:
-            # XLA aliases the DUS on the carried cache instead of copying
-            # the whole 0.5 GB cache per step (the old per-layer unstack +
-            # restack did exactly that)
+            # tiny in-place update on this layer's own (B, H, S, D)
+            # buffer — per-layer leaves alias cleanly inside scanned
+            # decode loops (see make_kv_cache)
             ck, cv = cache_kv
             ck = jax.lax.dynamic_update_slice(
-                ck, k[None].astype(ck.dtype),
-                (layer_idx, 0, 0, cache_index, 0))
+                ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
             cv = jax.lax.dynamic_update_slice(
-                cv, v[None].astype(cv.dtype),
-                (layer_idx, 0, 0, cache_index, 0))
+                cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
             new_cache_kv = (ck, cv)
             if not prefill_mode:
-                k = jax.lax.dynamic_index_in_dim(ck, layer_idx, 0,
-                                                 keepdims=False)
-                v = jax.lax.dynamic_index_in_dim(cv, layer_idx, 0,
-                                                 keepdims=False)
+                k, v = ck, cv
 
         rep = c.num_heads // c.num_kv_heads
         if rep > 1:
@@ -258,20 +255,23 @@ class LlamaModel(nn.Module):
                     'attn_out')
             layer_cls = nn.remat(LlamaLayer, static_argnums=(7, 8),
                                  prevent_cse=False, policy=policy)
-        cache_kv = (cache['k'], cache['v']) if cache is not None else None
         cache_index = cache['index'] if cache is not None else None
+        new_k, new_v = [], []
         for i in range(c.num_layers):
+            layer_kv = (cache['k'][i], cache['v'][i]) \
+                if cache is not None else None
             x, updated = layer_cls(c, dtype, name=f'layers_{i}')(
-                x, cos, sin, kv_mask, cache_kv, cache_index, i, use_flash)
+                x, cos, sin, kv_mask, layer_kv, cache_index, i, use_flash)
             if updated is not None:
-                cache_kv = updated
+                new_k.append(updated[0])
+                new_v.append(updated[1])
         x = RMSNorm(c.rms_norm_eps, name='norm')(x)
 
         new_cache = None
         if cache is not None:
             new_cache = {
-                'k': cache_kv[0],
-                'v': cache_kv[1],
+                'k': new_k,
+                'v': new_v,
                 'mask': kv_mask,
                 'index': cache['index'] + inputs_embeds.shape[1],
             }

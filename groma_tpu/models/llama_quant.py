@@ -100,19 +100,22 @@ def _qmm(x, qw):
 # --------------------------------------------------------- int8 KV cache
 
 def make_quant_kv_cache(cfg: LlamaConfig, batch: int, max_len: int):
-    """int8 KV cache with per-(layer, batch, head, position) scales.
+    """int8 KV cache with per-(batch, head, position) scales, PER-LAYER
+    leaves (see llama.make_kv_cache — stacked (L, ...) planes defeat
+    XLA's in-place carry aliasing and copy the full cache per step).
 
     Halves the decode-time KV HBM stream and cache footprint vs bf16
     (537 -> 270 MB at 7B/b1/s1024; ~2.6 ms/step at b8) — the KV-side
     analogue of the weight-only int8 path.  Scales are 1/128 of the
     element count, so their overhead is negligible."""
     hd = cfg.hidden_size // cfg.num_heads
-    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, hd)
+    shape = (batch, cfg.num_kv_heads, max_len, hd)
+    nl = cfg.num_layers
     return {
-        'k': jnp.zeros(shape, jnp.int8),
-        'v': jnp.zeros(shape, jnp.int8),
-        'k_scale': jnp.zeros(shape[:-1], jnp.float32),
-        'v_scale': jnp.zeros(shape[:-1], jnp.float32),
+        'k': [jnp.zeros(shape, jnp.int8) for _ in range(nl)],
+        'v': [jnp.zeros(shape, jnp.int8) for _ in range(nl)],
+        'k_scale': [jnp.zeros(shape[:-1], jnp.float32) for _ in range(nl)],
+        'v_scale': [jnp.zeros(shape[:-1], jnp.float32) for _ in range(nl)],
         'mask': jnp.zeros((batch, max_len), bool),
         'index': 0,
     }
@@ -182,11 +185,13 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
             cache['mask'], attn_mask[:, :s], (0, cache['index']))
 
     cache_index = cache['index'] if cache is not None else None
-    ck = cache['k'] if cache is not None else None
+    ck = cache['k'] if cache is not None else None      # per-layer lists
     cv = cache['v'] if cache is not None else None
-    quant_kv = cache is not None and ck.dtype == jnp.int8
-    cks = cache.get('k_scale') if quant_kv else None
-    cvs = cache.get('v_scale') if quant_kv else None
+    quant_kv = cache is not None and ck[0].dtype == jnp.int8
+    cks = list(cache['k_scale']) if quant_kv else None
+    cvs = list(cache['v_scale']) if quant_kv else None
+    if cache is not None:
+        ck, cv = list(ck), list(cv)
 
     # prefill (s > 1) attends over the CURRENT keys only — multi-token
     # forwards always start a fresh cache at index 0 in this framework
@@ -201,7 +206,7 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
         causal_ok = kj <= qi
         amask = attn_mask[:, :s]
     else:
-        skv = ck.shape[3]
+        skv = ck[0].shape[2]
         qi = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 0)
         kj = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 1)
         if vector_index:
@@ -234,64 +239,55 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
             vq8, vsc = _quantize_tokens(v)
             bidx = jnp.arange(b)
             idx = cache_index
-            ck = ck.at[i, bidx, :, idx, :].set(kq8[:, :, 0, :])
-            cv = cv.at[i, bidx, :, idx, :].set(vq8[:, :, 0, :])
-            cks = cks.at[i, bidx, :, idx].set(ksc[:, :, 0])
-            cvs = cvs.at[i, bidx, :, idx].set(vsc[:, :, 0])
+            ck[i] = ck[i].at[bidx, :, idx, :].set(kq8[:, :, 0, :])
+            cv[i] = cv[i].at[bidx, :, idx, :].set(vq8[:, :, 0, :])
+            cks[i] = cks[i].at[bidx, :, idx].set(ksc[:, :, 0])
+            cvs[i] = cvs[i].at[bidx, :, idx].set(vsc[:, :, 0])
         elif quant_kv:
             # int8 KV: quantize this step's keys/values per (b, head,
-            # position) and update the int8 planes + scale planes
+            # position) and update this layer's int8 + scale leaves
             kq8, ksc = _quantize_tokens(k)
             vq8, vsc = _quantize_tokens(v)
-            ck = jax.lax.dynamic_update_slice(
-                ck, kq8[None], (i, 0, 0, cache_index, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, vq8[None], (i, 0, 0, cache_index, 0))
-            cks = jax.lax.dynamic_update_slice(
-                cks, ksc[None], (i, 0, 0, cache_index))
-            cvs = jax.lax.dynamic_update_slice(
-                cvs, vsc[None], (i, 0, 0, cache_index))
+            ck[i] = jax.lax.dynamic_update_slice(
+                ck[i], kq8, (0, 0, cache_index, 0))
+            cv[i] = jax.lax.dynamic_update_slice(
+                cv[i], vq8, (0, 0, cache_index, 0))
+            cks[i] = jax.lax.dynamic_update_slice(
+                cks[i], ksc, (0, 0, cache_index))
+            cvs[i] = jax.lax.dynamic_update_slice(
+                cvs[i], vsc, (0, 0, cache_index))
         elif cache is not None and vector_index:
             bidx = jnp.arange(b)
             idx = cache_index
-            ck = ck.at[i, bidx, :, idx, :].set(
-                k[:, :, 0, :].astype(ck.dtype))
-            cv = cv.at[i, bidx, :, idx, :].set(
-                v[:, :, 0, :].astype(cv.dtype))
+            ck[i] = ck[i].at[bidx, :, idx, :].set(
+                k[:, :, 0, :].astype(ck[i].dtype))
+            cv[i] = cv[i].at[bidx, :, idx, :].set(
+                v[:, :, 0, :].astype(cv[i].dtype))
         elif cache is not None:
-            # tiny in-place update on the (L, B, H, S, D) stacked carry —
-            # no per-layer unstack/restack (the old path copied the whole
-            # 0.5 GB cache twice per decode step)
-            ck = jax.lax.dynamic_update_slice(
-                ck, k[None].astype(ck.dtype), (i, 0, 0, cache_index, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, v[None].astype(cv.dtype), (i, 0, 0, cache_index, 0))
+            # tiny in-place update on this layer's own (B, H, S, D) leaf —
+            # per-layer leaves alias cleanly inside scanned decode loops
+            # (see make_quant_kv_cache; stacked planes copied the full
+            # cache per step)
+            ck[i] = jax.lax.dynamic_update_slice(
+                ck[i], k.astype(ck[i].dtype), (0, 0, cache_index, 0))
+            cv[i] = jax.lax.dynamic_update_slice(
+                cv[i], v.astype(cv[i].dtype), (0, 0, cache_index, 0))
         if cache is not None and not prefill_mode and not quant_kv:
-            k = jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
-            v = jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
+            k, v = ck[i], cv[i]
 
         rep = nh // nkv
         if quant_kv and not prefill_mode and rep == 1:
             attn = _int8_cache_attention(
-                q,
-                jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False),
-                jax.lax.dynamic_index_in_dim(cks, i, 0, keepdims=False),
-                jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False),
-                jax.lax.dynamic_index_in_dim(cvs, i, 0, keepdims=False),
-                mask_bias)
+                q, ck[i], cks[i], cv[i], cvs[i], mask_bias)
         else:
             if quant_kv and not prefill_mode:
                 # GQA decode over an int8 cache: dequantize this layer
                 # (rep > 1 needs head-repeat anyway; LLaMA-7B is MHA so
                 # the int8x int8 fast path above is the production route)
-                k = (jax.lax.dynamic_index_in_dim(ck, i, 0, keepdims=False)
-                     .astype(jnp.float32)
-                     * jax.lax.dynamic_index_in_dim(
-                         cks, i, 0, keepdims=False)[..., None]).astype(dtype)
-                v = (jax.lax.dynamic_index_in_dim(cv, i, 0, keepdims=False)
-                     .astype(jnp.float32)
-                     * jax.lax.dynamic_index_in_dim(
-                         cvs, i, 0, keepdims=False)[..., None]).astype(dtype)
+                k = (ck[i].astype(jnp.float32)
+                     * cks[i][..., None]).astype(dtype)
+                v = (cv[i].astype(jnp.float32)
+                     * cvs[i][..., None]).astype(dtype)
             if rep > 1:
                 k = jnp.repeat(k, rep, axis=1)
                 v = jnp.repeat(v, rep, axis=1)

@@ -123,14 +123,15 @@ class BatchEngine:
         def insert(cache, one, slot, write_index):
             """Copy a b=1 prefill cache into batch row ``slot``."""
             out = dict(cache)
-            out['k'] = jax.lax.dynamic_update_slice(
-                cache['k'], one['k'], (0, slot, 0, 0, 0))
-            out['v'] = jax.lax.dynamic_update_slice(
-                cache['v'], one['v'], (0, slot, 0, 0, 0))
+            out['k'] = [jax.lax.dynamic_update_slice(c, o, (slot, 0, 0, 0))
+                        for c, o in zip(cache['k'], one['k'])]
+            out['v'] = [jax.lax.dynamic_update_slice(c, o, (slot, 0, 0, 0))
+                        for c, o in zip(cache['v'], one['v'])]
             for key in ('k_scale', 'v_scale'):
                 if key in cache:
-                    out[key] = jax.lax.dynamic_update_slice(
-                        cache[key], one[key], (0, slot, 0, 0))
+                    out[key] = [
+                        jax.lax.dynamic_update_slice(c, o, (slot, 0, 0))
+                        for c, o in zip(cache[key], one[key])]
             out['mask'] = jax.lax.dynamic_update_slice(
                 cache['mask'], one['mask'], (slot, 0))
             out['index'] = cache['index'].at[slot].set(write_index)
