@@ -1,10 +1,10 @@
 """Piece timing for the region encoder at b8 448 (the ~59 ms over floor).
 
 Times each stage of RegionEncoder in isolation (same shapes the vision
-pipeline produces): initial upsample, MLVLFuse (convs+GN+resizes),
-RoIAlign x3 levels, pconv+flatten+proj.  All loops amortized in-graph.
+pipeline produces) via time_fn_ingraph (in-graph loop + per-iteration
+perturbation — immune to the tunnel's result caching).
 """
-import sys, os, time, functools
+import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import _cache  # noqa: E402
@@ -16,9 +16,10 @@ import jax.numpy as jnp
 from groma_tpu.models.region_encoder import (MLVLFuse, RegionEncoder,
                                              resize_bilinear_align_corners)
 from groma_tpu.ops.roi_align import roi_align_batched
+from groma_tpu.utils.profiling import time_fn_ingraph
 
 B, R, D = 8, 100, 1024
-ITERS = 32
+ITERS = 24
 rng = np.random.default_rng(0)
 cdtype = jnp.bfloat16
 
@@ -27,17 +28,10 @@ feats_tok = [jnp.asarray(rng.standard_normal((B, 1024, D)) * 0.1, cdtype)
 boxes = jnp.asarray(rng.uniform(0.2, 0.6, (B, R, 4)), jnp.float32)
 
 
-def timeit(name, fn, *args):
-    f = jax.jit(fn)
-    out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = f(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS * 1000
-    print(f'{name:30s} {dt:8.2f} ms')
-    return out, dt
+def bench(name, fn, args, iters=ITERS):
+    dt = time_fn_ingraph(fn, args, iters=iters) * 1000
+    print(f'{name:32s} {dt:8.2f} ms', flush=True)
+    return dt
 
 
 def upsample(feats):
@@ -47,12 +41,14 @@ def upsample(feats):
             for f, s in zip(feats2d, to_shape)]
 
 
-feats2d, t_up = timeit('initial upsample', upsample, feats_tok)
+t_up = bench('initial upsample', upsample, (feats_tok,))
+feats2d = jax.jit(upsample)(feats_tok)
 
 fuse = MLVLFuse(D, 3, num_fuse=5, gn_groups=64, dtype=cdtype)
 fvars = jax.jit(fuse.init)(jax.random.PRNGKey(0), feats2d)
-fused, t_fuse = timeit('MLVLFuse (5 rounds)',
-                       lambda v, f: fuse.apply(v, f), fvars, feats2d)
+t_fuse = bench('MLVLFuse (5 rounds)', lambda v, f: fuse.apply(v, f),
+               (fvars, feats2d))
+fused = jax.jit(fuse.apply)(fvars, feats2d)
 
 rois = boxes * 448.0
 strides = [14 / 8, 14 / 4, 14 / 2]
@@ -69,47 +65,46 @@ def roi_all(fused, rois):
     return outs
 
 
-pooled, t_roi = timeit('RoIAlign x3', roi_all, fused, rois)
+t_roi = bench('RoIAlign x3', roi_all, (fused, rois))
+pooled = jax.jit(roi_all)(fused, rois)
+
+pk = jnp.asarray(rng.standard_normal((3, 3, 3 * D, D)) * 0.01, cdtype)
+w1 = jnp.asarray(rng.standard_normal((14 * 14 * D, 1024)) * 0.01, cdtype)
+w2 = jnp.asarray(rng.standard_normal((1024, 4096)) * 0.01, cdtype)
 
 
-def pconv(pooled):
+def pconv(pooled, pk, w1, w2):
     cat_in = jnp.concatenate(pooled, axis=-1)
-    k = jnp.asarray(rng.standard_normal((3, 3, 3 * D, D)) * 0.01, cdtype)
     acc = jax.lax.conv_general_dilated(
-        cat_in, k, (1, 1), ((1, 1), (1, 1)),
+        cat_in, pk, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         preferred_element_type=jnp.float32)
     acc = jax.nn.relu(acc).astype(cdtype)
     flat = acc.reshape(B * R, -1)
-    w1 = jnp.asarray(rng.standard_normal((14 * 14 * D, 1024)) * 0.01, cdtype)
-    w2 = jnp.asarray(rng.standard_normal((1024, 4096)) * 0.01, cdtype)
     return (flat @ w1) @ w2
 
 
-_, t_pc = timeit('pconv+flatten+proj', pconv, pooled)
+t_pc = bench('pconv+flatten+proj', pconv, (pooled, pk, w1, w2))
 
-# whole module for comparison
 enc = RegionEncoder(D, 4096, 3, 448, 14, 5, 64, dtype='bfloat16')
 evars = jax.jit(enc.init)(jax.random.PRNGKey(0), feats_tok, boxes)
-_, t_all = timeit('RegionEncoder total',
-                  lambda v, f, b: enc.apply(v, f, b), evars, feats_tok, boxes)
+t_all = bench('RegionEncoder total',
+              lambda v, f, b: enc.apply(v, f, b), (evars, feats_tok, boxes))
 print(f'sum of pieces: {t_up + t_fuse + t_roi + t_pc:.2f} ms')
 
-# fuse sub-pieces: conv-only vs GN cost probe
-def fuse_convs_only(feats2d):
-    k = jnp.asarray(rng.standard_normal((3, 3, D, D)) * 0.01, cdtype)
-    outs = []
+ck = jnp.asarray(rng.standard_normal((3, 3, D, D)) * 0.01, cdtype)
+
+
+def fuse_convs_only(feats2d, ck):
     for _ in range(5):
-        nf = []
-        for f in feats2d:
-            c = jax.lax.conv_general_dilated(
-                f, k, (1, 1), ((1, 1), (1, 1)),
+        feats2d = [
+            jax.nn.relu(jax.lax.conv_general_dilated(
+                f, ck, (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                preferred_element_type=jnp.float32)
-            nf.append(jax.nn.relu(c).astype(cdtype))
-        feats2d = nf
+                preferred_element_type=jnp.float32)).astype(cdtype)
+            for f in feats2d]
     return feats2d
 
 
-_, t_conv = timeit('fuse convs only (5r x 3l)', fuse_convs_only, feats2d)
+t_conv = bench('fuse convs only (5r x 3l)', fuse_convs_only, (feats2d, ck))
 print(f'fuse GN+resize overhead: {t_fuse - t_conv:.2f} ms')
