@@ -53,3 +53,15 @@ print(f'fused : {dtf*1000:7.3f} ms per {L}-layer step')
 dtx = time_fn_ingraph(loop_xla, (q, k8, ks, v8, vs, bias), iters=24)
 print(f'xla   : {dtx*1000:7.3f} ms per {L}-layer step')
 print(f'speedup: {dtx/dtf:.2f}x')
+
+# block_h tuning sweep
+for bh in (16, 32):
+    def loop_bh(q, k8, ks, v8, vs, bias, _bh=bh):
+        def body(c, _):
+            o = int8_decode_attention(c.astype(jnp.float32), k8, ks, v8,
+                                      vs, bias, block_h=_bh)
+            return c + o.astype(c.dtype) * 1e-6, ()
+        c, _ = jax.lax.scan(body, q, None, length=L)
+        return c
+    dt = time_fn_ingraph(loop_bh, (q, k8, ks, v8, vs, bias), iters=24)
+    print(f'block_h={bh:2d}: {dt*1000:7.3f} ms per {L}-layer step')

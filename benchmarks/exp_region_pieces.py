@@ -108,3 +108,115 @@ def fuse_convs_only(feats2d, ck):
 
 t_conv = bench('fuse convs only (5r x 3l)', fuse_convs_only, (feats2d, ck))
 print(f'fuse GN+resize overhead: {t_fuse - t_conv:.2f} ms')
+
+# --- finer fuse decomposition: where do the 33 ms go? ---
+import flax.linen as nn
+
+
+def gn_relu_only(feats2d, gvars):
+    gn = nn.GroupNorm(num_groups=64, epsilon=1e-5, dtype=cdtype)
+    outs = []
+    for r_ in range(5):
+        feats2d = [jax.nn.relu(gn.apply({'params': gvars}, f))
+                   for f in feats2d]
+    return feats2d
+
+
+gn0 = nn.GroupNorm(num_groups=64, epsilon=1e-5, dtype=cdtype)
+gvars = jax.jit(gn0.init)(jax.random.PRNGKey(0), feats2d[0])['params']
+bench('GN+relu only (5r x 3l)', gn_relu_only, (feats2d, gvars))
+
+
+def resizes_only(feats2d):
+    remain, shuffle = 512, 256
+    n = 3
+    outs = []
+    for r_ in range(5):
+        nf = []
+        for lvl in range(n):
+            top = min(lvl + 1, n - 1)
+            down = max(lvl - 1, 0)
+            hw = feats2d[lvl].shape[1:3]
+            ft = resize_bilinear_align_corners(
+                feats2d[top][..., remain + shuffle:], hw)
+            fd = resize_bilinear_align_corners(
+                feats2d[down][..., remain:remain + shuffle], hw)
+            nf.append(jnp.concatenate(
+                [feats2d[lvl][..., :remain],
+                 ft.astype(cdtype), fd.astype(cdtype)], -1))
+        feats2d = nf
+    return feats2d
+
+
+bench('resize+concat only (5r x 3l)', resizes_only, (feats2d,))
+
+
+# --- composed fuse variants: find the 24 ms composition loss ---
+def fuse_split_conv(feats2d, ck, gvars):
+    """conv(cat(a,b,c)) == conv_a(a)+conv_b(b)+conv_c(c): no concat."""
+    gn = nn.GroupNorm(num_groups=64, epsilon=1e-5, dtype=cdtype)
+    remain, shuffle = 512, 256
+    n = 3
+    k_keep = ck[:, :, :remain, :]
+    k_top = ck[:, :, remain:remain + shuffle, :]
+    k_down = ck[:, :, remain + shuffle:, :]
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.float32)
+
+    for r_ in range(5):
+        nf = []
+        for lvl in range(n):
+            top = min(lvl + 1, n - 1)
+            down = max(lvl - 1, 0)
+            hw = feats2d[lvl].shape[1:3]
+            ft = resize_bilinear_align_corners(
+                feats2d[top][..., remain + shuffle:], hw).astype(cdtype)
+            fd = resize_bilinear_align_corners(
+                feats2d[down][..., remain:remain + shuffle],
+                hw).astype(cdtype)
+            acc = conv(feats2d[lvl][..., :remain], k_keep) \
+                + conv(ft, k_top) + conv(fd, k_down)
+            nf.append(jax.nn.relu(gn.apply({'params': gvars},
+                                           acc.astype(cdtype))))
+        feats2d = nf
+    return feats2d
+
+
+bench('fuse split-conv variant (5r)', fuse_split_conv,
+      (feats2d, ck, gvars))
+
+
+def fuse_concat_conv(feats2d, ck, gvars):
+    """the current module's structure, inlined (control variant)."""
+    gn = nn.GroupNorm(num_groups=64, epsilon=1e-5, dtype=cdtype)
+    remain, shuffle = 512, 256
+    n = 3
+    for r_ in range(5):
+        nf = []
+        for lvl in range(n):
+            top = min(lvl + 1, n - 1)
+            down = max(lvl - 1, 0)
+            hw = feats2d[lvl].shape[1:3]
+            ft = resize_bilinear_align_corners(
+                feats2d[top][..., remain + shuffle:], hw).astype(cdtype)
+            fd = resize_bilinear_align_corners(
+                feats2d[down][..., remain:remain + shuffle],
+                hw).astype(cdtype)
+            cat = jnp.concatenate(
+                [feats2d[lvl][..., :remain], ft, fd], -1)
+            acc = jax.lax.conv_general_dilated(
+                cat, ck, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.float32)
+            nf.append(jax.nn.relu(gn.apply({'params': gvars},
+                                           acc.astype(cdtype))))
+        feats2d = nf
+    return feats2d
+
+
+bench('fuse concat-conv inlined (5r)', fuse_concat_conv,
+      (feats2d, ck, gvars))

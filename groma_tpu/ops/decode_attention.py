@@ -74,9 +74,13 @@ def int8_decode_attention(q: jnp.ndarray, k8: jnp.ndarray, ks: jnp.ndarray,
         # reference path (CPU tests / ragged shapes)
         from groma_tpu.models.llama_quant import _int8_cache_attention
         return _int8_cache_attention(q, k8, ks, v8, vs, mask_bias)
+    # the (1, hb, S) scale blocks need their second-to-last dim to be a
+    # multiple of 8 (TPU sublane granularity) unless hb == h
     hb = min(block_h, h)
-    while h % hb:
+    while h % hb or (hb % 8 and hb != h):
         hb -= 1
+    if hb < 1:
+        hb = h
     out = pl.pallas_call(
         functools.partial(_kernel, heads=hb, scale=d ** -0.5),
         grid=(b, h // hb),
