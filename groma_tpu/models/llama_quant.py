@@ -160,12 +160,20 @@ def _int8_cache_attention(q, k_q, k_s, v_q, v_s, mask_bias):
 def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
                         attn_mask, position_ids,
                         cache: Optional[dict] = None,
-                        use_flash: bool = False):
+                        use_flash: bool = False,
+                        chunked: bool = False):
     """Mirror of models/llama.py LlamaModel.__call__ on quantized weights.
 
     Multi-token calls with a cache are PREFILL: the cache must be fresh
     (index 0); attention runs over this call's own keys (optionally via
-    the Pallas flash kernel), never against the padded cache buffer."""
+    the Pallas flash kernel), never against the padded cache buffer.
+
+    ``chunked=True`` lifts that contract: a multi-token call APPENDS the
+    chunk at the current (scalar) cache index and attends over the whole
+    cache buffer through its mask — chunked prefill for the serving
+    engine (interleave prompt chunks with decode bursts so active slots
+    never stall behind a long prefill).  Equivalent to one-shot prefill
+    for any chunking of the same stream (tests/test_llama_quant.py)."""
     dtype = jnp.dtype(cfg.dtype)
     hd = cfg.hidden_size // cfg.num_heads
     nh, nkv = cfg.num_heads, cfg.num_kv_heads
@@ -197,8 +205,10 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
     # forwards always start a fresh cache at index 0 in this framework
     # (GromaModel.prefill / eval generators), so attending to the raw
     # k/v of this call is exact and never materializes (B, H, S, max_len)
-    # scores against the padded cache buffer
-    prefill_mode = s > 1
+    # scores against the padded cache buffer.  A chunked APPEND instead
+    # takes the cached-decode route below (full-buffer mask, readback).
+    append = chunked and s > 1 and cache is not None
+    prefill_mode = s > 1 and not append
     if prefill_mode or cache is None:
         skv = s
         qi = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 0)
@@ -276,9 +286,9 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
             k, v = ck[i], cv[i]
 
         rep = nh // nkv
-        if quant_kv and not prefill_mode and rep == 1:
+        if quant_kv and not prefill_mode and s == 1 and rep == 1:
             # fused Pallas kernel on TPU (falls back to the XLA chain
-            # below off-TPU / at ragged shapes): 6.5 -> ~3 ms per
+            # below off-TPU / at ragged shapes): 7.2 -> 5.2 ms per
             # 32-layer step at B=8 S=1024 (ops/decode_attention.py)
             from groma_tpu.ops.decode_attention import int8_decode_attention
             attn = int8_decode_attention(

@@ -9,12 +9,15 @@ into any free slot while the other slots keep decoding — continuous
 batching with ZERO dynamic shapes, the TPU-native equivalent of
 vLLM-style request interleaving:
 
-* one compiled b=1 prefill program (vision + surgery + LLM prefill),
+* one compiled b=1 prefill program (vision + surgery + LLM prefill) —
+  or, with ``prefill_chunk_tokens``, a fixed-size chunked prefill that
+  interleaves decode bursts between prompt chunks so active streams
+  never stall behind a long prefill,
 * one compiled ``max_slots``-wide chunked decode program
   (``lax.scan`` over ``chunk`` steps; per-row cache indices / positions /
   done flags — see models/llama.py vector cache_index support),
-* slot insertion is a ``dynamic_update_slice`` of the (L, B, H, S, D)
-  cache at the batch dim, so admission never recompiles anything.
+* slot insertion is a ``dynamic_update_slice`` of each per-layer cache
+  leaf at the batch dim, so admission never recompiles anything.
 
 Greedy decode matches the single-request Generator exactly (fp32) —
 asserted by tests/test_engine.py including mid-decode admissions.
@@ -61,7 +64,14 @@ class BatchEngine:
     def __init__(self, model: GromaModel, params, max_slots: int = 4,
                  max_len: Optional[int] = None, eos_id: int = 2,
                  chunk: int = 8, max_new_tokens: int = 256,
-                 qp: Optional[dict] = None, kv_bits: int = 16):
+                 qp: Optional[dict] = None, kv_bits: int = 16,
+                 prefill_chunk_tokens: Optional[int] = None):
+        """``prefill_chunk_tokens`` (quantized path only) enables CHUNKED
+        PREFILL: a new request's prompt is prefilled in fixed-size token
+        chunks with a decode burst for the active slots between chunks,
+        so in-flight streams never stall behind a long prefill (the
+        vLLM-style scheduling knob; one-shot prefill stalls every active
+        stream for the whole prompt)."""
         self.model = model
         self.params = params
         self.qp = qp
@@ -71,6 +81,9 @@ class BatchEngine:
         self.max_new_tokens = max_new_tokens
         self.max_slots = max_slots
         self.max_len = max_len or cfg.max_seq_len + max_new_tokens + 8
+        if prefill_chunk_tokens is not None and qp is None:
+            raise ValueError('chunked prefill requires the quantized path')
+        self.prefill_chunk_tokens = prefill_chunk_tokens
 
         if qp is not None:
             from groma_tpu.models.llama_quant import (quant_llama_forward,
@@ -112,6 +125,29 @@ class BatchEngine:
             self._q_forward = quant_llama_forward
             self._q_logits = q_logits
             self._q_embed = q_embed
+
+            def prepare_one(params, images, input_ids, region_slot,
+                            base_valid):
+                emb, _, valid, vis = model.apply(
+                    {'params': params}, images, input_ids, region_slot,
+                    base_valid, method=GromaModel.prepare_stream)
+                pos = jnp.maximum(
+                    jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
+                return emb, valid, pos, vis
+
+            def chunk_fwd(emb_c, valid_c, pos_c, cache):
+                hidden, cache = quant_llama_forward(
+                    qp, cfg.llm, emb_c, valid_c, pos_c, cache,
+                    chunked=True)
+                return hidden, cache
+
+            def last_logits(hidden, local_idx):
+                h = jax.lax.dynamic_index_in_dim(hidden, local_idx, 1)
+                return q_logits(h)[:, 0]
+
+            self._prepare = jax.jit(prepare_one)
+            self._chunk_fwd = jax.jit(chunk_fwd, donate_argnums=(3,))
+            self._last_logits = jax.jit(last_logits)
         else:
             def prefill_one(params, images, input_ids, region_slot,
                             base_valid):
@@ -222,10 +258,14 @@ class BatchEngine:
                 sess, image, ids, rslot, valid = self._queue.get_nowait()
             except queue.Empty:
                 return
-            logits, one, vis, next_pos = self._prefill(
-                self.params, jnp.asarray(image)[None],
-                jnp.asarray(ids)[None], jnp.asarray(rslot)[None],
-                jnp.asarray(valid)[None])
+            if self.prefill_chunk_tokens:
+                logits, one, vis, next_pos = self._chunked_prefill(
+                    image, ids, rslot, valid)
+            else:
+                logits, one, vis, next_pos = self._prefill(
+                    self.params, jnp.asarray(image)[None],
+                    jnp.asarray(ids)[None], jnp.asarray(rslot)[None],
+                    jnp.asarray(valid)[None])
             tok0 = int(jnp.argmax(logits[0]))
             sess.vis = jax.tree_util.tree_map(
                 np.asarray, {'selected_boxes': vis['selected_boxes'][0],
@@ -243,6 +283,38 @@ class BatchEngine:
             if tok0 == self.eos_id:
                 self._finish(slot)
 
+    def _chunked_prefill(self, image, ids, rslot, valid):
+        """Vision + surgery once, then LLM prefill in fixed-size chunks
+        with a decode burst for the active slots between chunks."""
+        c = self.prefill_chunk_tokens
+        emb, valid_d, pos, vis = self._prepare(
+            self.params, jnp.asarray(image)[None],
+            jnp.asarray(ids)[None], jnp.asarray(rslot)[None],
+            jnp.asarray(valid)[None])
+        valid_np = np.asarray(valid_d[0])
+        pos_np = np.asarray(pos[0])
+        last_idx = int(np.nonzero(valid_np)[0][-1])
+        n_chunks = last_idx // c + 1          # trailing all-pad chunks skipped
+        s = emb.shape[1]
+        pad = n_chunks * c - s
+        if pad > 0:
+            emb = jnp.pad(emb, ((0, 0), (0, pad), (0, 0)))
+            valid_d = jnp.pad(valid_d, ((0, 0), (0, pad)))
+            pos = jnp.pad(pos, ((0, 0), (0, pad)))
+        cache = self._fresh_cache(1)
+        cache['index'] = jnp.zeros((), jnp.int32)
+        hidden = None
+        for ci in range(n_chunks):
+            lo = ci * c
+            hidden, cache = self._chunk_fwd(
+                emb[:, lo:lo + c], valid_d[:, lo:lo + c],
+                pos[:, lo:lo + c], cache)
+            if ci + 1 < n_chunks and self._active.any():
+                self._decode_burst()     # keep live streams moving
+        logits = self._last_logits(hidden, last_idx - (n_chunks - 1) * c)
+        next_pos = jnp.asarray([[pos_np[last_idx] + 1]], jnp.int32)
+        return logits, cache, vis, next_pos
+
     def _finish(self, slot):
         sess = self._sessions[slot]
         if sess is not None:
@@ -251,6 +323,31 @@ class BatchEngine:
         self._sessions[slot] = None
         self._active[slot] = False
 
+    def _decode_burst(self):
+        """One ``chunk``-step decode pass over all active slots, emitting
+        tokens to their sessions."""
+        active_j = jnp.asarray(self._active)
+        self._cache, out, self._tok, self._pos, self._done = \
+            self._decode_chunk(self.params, self._cache, self._tok,
+                               self._pos, active_j, self._done)
+        out_np = np.asarray(out)
+        done_np = np.asarray(self._done)
+        for slot in range(self.max_slots):
+            if not self._active[slot]:
+                continue
+            sess = self._sessions[slot]
+            for t in out_np[slot]:
+                t = int(t)
+                sess.tokens.append(t)
+                sess._q.put(t)
+                self._emitted[slot] += 1
+                if t == self.eos_id:
+                    break
+            hit_eos = self.eos_id in out_np[slot].tolist()
+            if hit_eos or done_np[slot] \
+                    or self._emitted[slot] >= self.max_new_tokens:
+                self._finish(slot)
+
     def _loop(self):
         import time
         while not self._stop:
@@ -258,24 +355,4 @@ class BatchEngine:
             if not self._active.any():
                 time.sleep(0.002)
                 continue
-            active_j = jnp.asarray(self._active)
-            self._cache, out, self._tok, self._pos, self._done = \
-                self._decode_chunk(self.params, self._cache, self._tok,
-                                   self._pos, active_j, self._done)
-            out_np = np.asarray(out)
-            done_np = np.asarray(self._done)
-            for slot in range(self.max_slots):
-                if not self._active[slot]:
-                    continue
-                sess = self._sessions[slot]
-                for t in out_np[slot]:
-                    t = int(t)
-                    sess.tokens.append(t)
-                    sess._q.put(t)
-                    self._emitted[slot] += 1
-                    if t == self.eos_id:
-                        break
-                hit_eos = self.eos_id in out_np[slot].tolist()
-                if hit_eos or done_np[slot] \
-                        or self._emitted[slot] >= self.max_new_tokens:
-                    self._finish(slot)
+            self._decode_burst()

@@ -26,7 +26,8 @@ class ModelWorker:
                  worker_name: str = 'groma-worker',
                  model_name: str = 'groma', limit: int = 2,
                  controller_addr: str = '', use_engine: bool = False,
-                 engine_slots: int = 4):
+                 engine_slots: int = 4, quant_type: str = 'none',
+                 kv_bits: int = 16, prefill_chunk: int = 0):
         from groma_tpu.checkpoint.loader import load_groma
         from groma_tpu.data.tokenizer import load_tokenizer
         from groma_tpu.data.datasets.base import VLDataSpec
@@ -45,19 +46,39 @@ class ModelWorker:
             max_region_num=self.cfg.max_region_num,
             max_seq_len=self.cfg.max_seq_len,
             image_size=self.cfg.perceiver.image_size)
+        qp = None
+        self._quant = quant_type in ('int8', 'int4')
+        if quant_type in ('int8', 'int4'):
+            # weight-only quantized LLM (the single-16GB-chip production
+            # config; reference run_groma.py 8bit/4bit switch)
+            from groma_tpu.eval.generate_quant import quantize_groma_llm
+            qp = quantize_groma_llm(
+                self.params, self.cfg,
+                bits=4 if quant_type == 'int4' else 8)
         self.engine = None
         if use_engine:
             # continuous batching: concurrent requests share the decode
             # step through slot interleaving (serve/engine.py) — true
             # per-token streaming, no per-request serialization
             from groma_tpu.serve.engine import BatchEngine
-            self.engine = BatchEngine(self.model, self.params,
-                                      max_slots=engine_slots,
-                                      max_len=self.cfg.max_seq_len + 64,
-                                      eos_id=self.tokenizer.sp.eos)
+            self.engine = BatchEngine(
+                self.model, self.params, max_slots=engine_slots,
+                max_len=self.cfg.max_seq_len + 64,
+                eos_id=self.tokenizer.sp.eos, qp=qp,
+                kv_bits=kv_bits if qp is not None else 16,
+                prefill_chunk_tokens=prefill_chunk or None)
             limit = max(limit, engine_slots)
-        self.generator = None if use_engine else Generator(
-            self.model, self.params, max_len=self.cfg.max_seq_len + 64)
+        if use_engine:
+            self.generator = None
+        elif qp is not None:
+            from groma_tpu.eval.generate_quant import QuantGenerator
+            self.generator = QuantGenerator(
+                self.model, self.params, qp,
+                max_len=self.cfg.max_seq_len + 64, kv_bits=kv_bits)
+        else:
+            self.generator = Generator(
+                self.model, self.params,
+                max_len=self.cfg.max_seq_len + 64)
         self.worker_name = worker_name
         self.model_name = model_name
         self.semaphore = threading.Semaphore(limit)
@@ -154,13 +175,17 @@ class ModelWorker:
                            sess.vis['selected_mask'][None]}
                     tokens = np.asarray([row_all], np.int32)
                 else:
+                    gen_kwargs = dict(max_new_tokens=max_new, eos_id=eos)
+                    temp = float(request.get('temperature', 0.0))
+                    if temp > 0 and not self._quant:
+                        # sampled decoding: bf16 Generator only (the
+                        # quantized generator is greedy)
+                        gen_kwargs['temperature'] = temp
                     tokens, vis = self.generator.generate(
                         jnp.asarray(image[None]),
                         jnp.asarray(t['input_ids'][None]),
                         jnp.asarray(t['region_slot'][None]),
-                        jnp.asarray(t['valid'][None]),
-                        max_new_tokens=max_new, eos_id=eos,
-                        temperature=float(request.get('temperature', 0.0)))
+                        jnp.asarray(t['valid'][None]), **gen_kwargs)
                     row = [int(x) for x in tokens[0]]
                     for i in range(0, len(row), chunk):
                         collected = [x for x in row[:i + chunk] if x != eos]
@@ -218,6 +243,15 @@ def main():
     ap.add_argument('--engine', action='store_true',
                     help='continuous-batching engine (serve/engine.py)')
     ap.add_argument('--engine-slots', type=int, default=4)
+    ap.add_argument('--quant_type', default='none',
+                    choices=['none', 'int8', 'int4'],
+                    help='weight-only quantized LLM (reference '
+                         'run_groma.py 8bit/4bit switch)')
+    ap.add_argument('--kv-bits', type=int, default=16, choices=[16, 8],
+                    help='8 = int8 KV cache (quantized paths only)')
+    ap.add_argument('--prefill-chunk', type=int, default=0,
+                    help='engine chunked prefill: interleave N-token '
+                         'prompt chunks with decode bursts (0 = one-shot)')
     ap.add_argument('--host', default='0.0.0.0')
     ap.add_argument('--port', type=int, default=21002)
     ap.add_argument('--controller-address', default='')
@@ -230,7 +264,9 @@ def main():
     worker = ModelWorker(model_dir, worker_name=a.worker_name,
                          limit=a.limit_model_concurrency,
                          controller_addr=a.controller_address,
-                         use_engine=a.engine, engine_slots=a.engine_slots)
+                         use_engine=a.engine, engine_slots=a.engine_slots,
+                         quant_type=a.quant_type, kv_bits=a.kv_bits,
+                         prefill_chunk=a.prefill_chunk)
     httpd = ThreadingHTTPServer((a.host, a.port), make_handler(worker))
     httpd.serve_forever()
 

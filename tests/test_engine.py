@@ -142,3 +142,38 @@ def test_quant_engine_matches_quant_generator(rng, kv_bits):
             assert trim(got) == trim(want), (got, want)
         else:
             assert got[0] == want[0]     # prefill logits are exact
+
+
+def test_chunked_prefill_engine_matches_oneshot_engine(rng):
+    """prefill_chunk_tokens (interleaved chunked prefill) must produce
+    the same greedy streams as the one-shot-prefill engine (bf16 KV —
+    exact path)."""
+    from groma_tpu.eval.generate_quant import quantize_groma_llm
+
+    model = GromaModel(CFG)
+    tok, reqs = _requests(rng, 3)
+    params = model.init(
+        jax.random.PRNGKey(0), images=jnp.asarray(reqs[0][0])[None],
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+    qp = quantize_groma_llm(params, CFG)
+
+    def run(**kw):
+        eng = BatchEngine(model, params, max_slots=2,
+                          max_len=CFG.max_seq_len + MAX_NEW + 8,
+                          eos_id=tok.sp.eos, chunk=2,
+                          max_new_tokens=MAX_NEW, qp=qp, **kw)
+        try:
+            # submit with a stagger so chunked prefills of later requests
+            # interleave with live decode of earlier ones
+            sessions = []
+            for r in reqs:
+                sessions.append(eng.submit(*r))
+            return [[t for t in s.token_stream()] for s in sessions]
+        finally:
+            eng.close()
+
+    want = run()
+    got = run(prefill_chunk_tokens=5)     # ragged: stream len % 5 != 0
+    assert got == want, (got, want)

@@ -91,3 +91,63 @@ def test_int8_kv_cache_decode_close(rng):
         cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.999, (t, cos)
         np.testing.assert_allclose(a, b, atol=0.15, rtol=0.1)
+
+
+def _chunk_vs_oneshot(rng, kv8, chunk_sizes):
+    from groma_tpu.models.llama_quant import make_quant_kv_cache
+    model, params, qp, _ = _setup(rng)
+    S, MAXLEN = 12, 24
+    ids = jnp.asarray(rng.integers(0, 128, (1, S)))
+    # mid-stream pad slots exercise the surgery-style interleaved padding
+    valid = np.ones((1, S), bool)
+    valid[0, 3] = valid[0, 7] = False
+    valid = jnp.asarray(valid)
+    pos = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
+    emb = qp['embed_tokens'][ids].astype(jnp.float32)
+
+    def fresh():
+        return make_quant_kv_cache(CFG, 1, MAXLEN) if kv8 \
+            else make_kv_cache(CFG, 1, MAXLEN, dtype=jnp.float32)
+
+    h_ref, cache_ref = quant_llama_forward(qp, CFG, emb, valid, pos,
+                                           fresh())
+
+    for c in chunk_sizes:
+        cache = fresh()
+        hs = []
+        for lo in range(0, S, c):
+            hi = min(lo + c, S)
+            h, cache = quant_llama_forward(
+                qp, CFG, emb[:, lo:hi], valid[:, lo:hi], pos[:, lo:hi],
+                cache, chunked=True)
+            hs.append(h)
+        got = jnp.concatenate(hs, axis=1)
+        # kv8 chunked attention reads back the QUANTIZED cache while the
+        # one-shot prefill attends the exact bf16 keys of the call — the
+        # chunked result carries the same KV-quantization noise decode
+        # sees (by design); bf16 caches must agree to fp tolerance
+        np.testing.assert_allclose(
+            np.asarray(got)[np.asarray(valid)],
+            np.asarray(h_ref)[np.asarray(valid)],
+            atol=8e-2 if kv8 else 1e-5, rtol=1e-2 if kv8 else 1e-3,
+            err_msg=f'chunk={c} kv8={kv8}')
+        # cache contents: layer 0 sees identical inputs in both modes so
+        # its quantized planes must match exactly; deeper layers inherit
+        # the (bounded) attention noise under kv8
+        layers = zip(cache['k'][:1], cache_ref['k'][:1]) if kv8 else \
+            zip(cache['k'] + cache['v'], cache_ref['k'] + cache_ref['v'])
+        for la, lb in layers:
+            np.testing.assert_allclose(
+                np.asarray(la[:, :, :S]).astype(np.float32),
+                np.asarray(lb[:, :, :S]).astype(np.float32),
+                atol=1e-5, err_msg=f'chunk={c} kv8={kv8}')
+
+
+def test_chunked_prefill_matches_oneshot(rng):
+    """Any chunking of the same stream == one-shot prefill (hidden states
+    at valid positions and cache contents)."""
+    _chunk_vs_oneshot(rng, kv8=False, chunk_sizes=(1, 3, 4, 5, 12))
+
+
+def test_chunked_prefill_matches_oneshot_int8_kv(rng):
+    _chunk_vs_oneshot(rng, kv8=True, chunk_sizes=(4, 5))
