@@ -1,0 +1,148 @@
+"""Full-scale continuous-batching engine benchmark (serve/engine.py).
+
+Drives the REAL BatchEngine — vision prefill + slot insertion + batched
+decode — at Groma-7B scale (bf16 vision, int8 LLM, int8 KV) on one chip:
+
+* aggregate decode tok/s and requests/min while draining a queue of REC
+  requests through ``max_slots`` slots,
+* the longest inter-burst stall an ACTIVE stream sees while later
+  requests prefill — one-shot prefill stalls every live stream for the
+  full prompt; chunked prefill (``prefill_chunk_tokens``) bounds the
+  stall at one chunk + one decode burst.
+
+Standalone (not part of bench.py's driver run — engine compiles are
+heavy); host-side timing INCLUDES the axon tunnel's ~30 ms dispatch
+overhead per program call, so on-host deployments see better numbers.
+"""
+import sys, os, time, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _cache  # noqa: E402
+_cache.enable()
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from groma_tpu.config import (DDETRConfig, GromaConfig, LlamaConfig,
+                              PerceiverConfig, ViTConfig)
+from groma_tpu.data.datasets.base import VLDataSpec
+from groma_tpu.data.tokenizer import StubTokenizer
+from groma_tpu.eval.rec import build_rec_prompt
+from groma_tpu.models.groma import GromaModel
+from groma_tpu.serve.engine import BatchEngine
+
+on_tpu = jax.devices()[0].platform == 'tpu'
+if on_tpu:
+    cfg = GromaConfig(
+        llm=LlamaConfig(),
+        perceiver=PerceiverConfig(vit=ViTConfig(dtype='bfloat16'),
+                                  ddetr=DDETRConfig(dtype='bfloat16'),
+                                  image_size=448))
+    SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 4, 8, 48, 48, 128
+    seq_len = 768
+else:
+    from __graft_entry__ import _small_cfg
+    cfg = _small_cfg()
+    SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 2, 3, 8, 4, 16
+    seq_len = cfg.max_seq_len
+
+model = GromaModel(cfg)
+spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
+                  max_region_num=cfg.max_region_num,
+                  max_seq_len=seq_len,
+                  image_size=cfg.perceiver.image_size)
+tok = StubTokenizer(base_vocab=cfg.llm.vocab_size)
+t = build_rec_prompt('the red object on the left', tok, spec)
+img_sz = cfg.perceiver.image_size
+rng = np.random.default_rng(0)
+
+image = rng.standard_normal((img_sz, img_sz, 3)).astype(np.float32)
+params = jax.jit(
+    lambda im, i, s, v: model.init(jax.random.PRNGKey(0), im, i, s, v,
+                                   method=GromaModel.prepare_stream)
+)(jnp.asarray(image)[None], jnp.asarray(t['input_ids'])[None],
+  jnp.asarray(t['region_slot'])[None],
+  jnp.asarray(t['valid'])[None])['params']
+params = jax.tree_util.tree_map(
+    lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+    params)
+
+H, I, V, L = (cfg.llm.hidden_size, cfg.llm.intermediate_size,
+              cfg.llm.vocab_size, cfg.llm.num_layers)
+
+
+def mk_q(k, n):
+    return {'q': jnp.ones((k, n), jnp.int8),
+            'scale': jnp.full((n,), 1e-4, jnp.float32)}
+
+
+qp = {
+    'layers': [{
+        'input_layernorm': jnp.ones((H,), jnp.float32),
+        'post_attention_layernorm': jnp.ones((H,), jnp.float32),
+        'qkv_proj': mk_q(H, 3 * H), 'o_proj': mk_q(H, H),
+        'gate_up_proj': mk_q(H, 2 * I),
+        'down_proj': mk_q(I, H)} for _ in range(L)],
+    'norm': jnp.ones((H,), jnp.float32),
+    'embed_tokens': jnp.asarray(
+        rng.standard_normal((V, H)) * 0.02, jnp.bfloat16),
+    'new_input_embs': jnp.asarray(
+        rng.standard_normal((cfg.num_new_token, H)) * 0.02, jnp.bfloat16),
+    'lm_head': mk_q(H, V),
+    'extra_lm_head': jnp.asarray(
+        rng.standard_normal((H, cfg.num_new_token)) * 0.02, jnp.bfloat16),
+}
+qp = jax.jit(lambda x: x)(qp)
+
+
+def drive(prefill_chunk):
+    eng = BatchEngine(model, params, max_slots=SLOTS,
+                      max_len=seq_len + MAXNEW + 8, eos_id=-1,
+                      chunk=CHUNK, max_new_tokens=MAXNEW, qp=qp,
+                      kv_bits=8, prefill_chunk_tokens=prefill_chunk)
+    try:
+        # warmup: compile every program (one request through the engine)
+        s0 = eng.submit(image, t['input_ids'], t['region_slot'],
+                        t['valid'])
+        for _ in s0.token_stream():
+            pass
+
+        stamps = {i: [] for i in range(NREQ)}
+        t0 = time.perf_counter()
+        sessions = [eng.submit(image, t['input_ids'], t['region_slot'],
+                               t['valid']) for i in range(NREQ)]
+
+        def consume(i, sess):
+            for _ in sess.token_stream():
+                stamps[i].append(time.perf_counter())
+
+        import threading
+        threads = [threading.Thread(target=consume, args=(i, s))
+                   for i, s in enumerate(sessions)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        dt = time.perf_counter() - t0
+    finally:
+        eng.close()
+
+    total_toks = sum(len(v) for v in stamps.values())
+    # worst stall: longest gap between consecutive token arrivals on a
+    # stream, excluding each stream's own prefill wait (first token)
+    worst = 0.0
+    for v in stamps.values():
+        for a, b in zip(v[1:], v[2:]):
+            worst = max(worst, b - a)
+    mode = f'chunked({prefill_chunk})' if prefill_chunk else 'one-shot'
+    print(json.dumps({
+        'metric': f'engine_aggregate_tok_per_sec_{"chunked" if prefill_chunk else "oneshot"}',
+        'value': round(total_toks / dt, 2), 'unit': 'tok/s'}), flush=True)
+    print(f'# {mode}: {NREQ} reqs x {MAXNEW} new tokens in {dt:.1f}s '
+          f'({NREQ / dt * 60:.1f} req/min, {total_toks / dt:.0f} tok/s '
+          f'aggregate), worst mid-stream stall {worst * 1000:.0f} ms',
+          flush=True)
+
+
+drive(0)
+drive(PCHUNK)

@@ -85,12 +85,16 @@ class BatchEngine:
             raise ValueError('chunked prefill requires the quantized path')
         self.prefill_chunk_tokens = prefill_chunk_tokens
 
+        # NOTE: every jitted program takes the weights (params / qp) as
+        # ARGUMENTS — closing over the multi-GB quantized tree bakes it
+        # into the lowering as constants (6.6 GB captured at 7B scale),
+        # which bloats compiles and defeats buffer sharing
         if qp is not None:
             from groma_tpu.models.llama_quant import (quant_llama_forward,
                                                       quant_llama_logits)
             sp_base = cfg.llm.vocab_size
 
-            def q_logits(hidden):
+            def q_logits(qp, hidden):
                 base = quant_llama_logits(qp, hidden)
                 extra = jnp.einsum(
                     'bsd,dv->bsv', hidden.astype(jnp.bfloat16),
@@ -98,14 +102,14 @@ class BatchEngine:
                     preferred_element_type=jnp.float32)
                 return jnp.concatenate([base, extra], axis=-1)
 
-            def q_embed(ids):
+            def q_embed(qp, ids):
                 is_new = ids >= sp_base
                 base = qp['embed_tokens'][jnp.where(is_new, 0, ids)]
                 new = qp['new_input_embs'][
                     jnp.where(is_new, ids - sp_base, 0)]
                 return jnp.where(is_new[..., None], new, base)
 
-            def prefill_one(params, images, input_ids, region_slot,
+            def prefill_one(params, qp, images, input_ids, region_slot,
                             base_valid):
                 emb, _, valid, vis = model.apply(
                     {'params': params}, images, input_ids, region_slot,
@@ -120,7 +124,7 @@ class BatchEngine:
                 last_h = jnp.take_along_axis(
                     hidden, last[:, None, None], axis=1)
                 next_pos = jnp.take_along_axis(pos, last[:, None], -1) + 1
-                return (q_logits(last_h)[:, 0], cache, vis, next_pos)
+                return (q_logits(qp, last_h)[:, 0], cache, vis, next_pos)
 
             self._q_forward = quant_llama_forward
             self._q_logits = q_logits
@@ -135,21 +139,21 @@ class BatchEngine:
                     jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
                 return emb, valid, pos, vis
 
-            def chunk_fwd(emb_c, valid_c, pos_c, cache):
+            def chunk_fwd(qp, emb_c, valid_c, pos_c, cache):
                 hidden, cache = quant_llama_forward(
                     qp, cfg.llm, emb_c, valid_c, pos_c, cache,
                     chunked=True)
                 return hidden, cache
 
-            def last_logits(hidden, local_idx):
+            def last_logits(qp, hidden, local_idx):
                 h = jax.lax.dynamic_index_in_dim(hidden, local_idx, 1)
-                return q_logits(h)[:, 0]
+                return q_logits(qp, h)[:, 0]
 
             self._prepare = jax.jit(prepare_one)
-            self._chunk_fwd = jax.jit(chunk_fwd, donate_argnums=(3,))
+            self._chunk_fwd = jax.jit(chunk_fwd, donate_argnums=(4,))
             self._last_logits = jax.jit(last_logits)
         else:
-            def prefill_one(params, images, input_ids, region_slot,
+            def prefill_one(params, qp, images, input_ids, region_slot,
                             base_valid):
                 return model.apply(
                     {'params': params}, images, input_ids, region_slot,
@@ -173,7 +177,7 @@ class BatchEngine:
             out['index'] = cache['index'].at[slot].set(write_index)
             return out
 
-        def decode_chunk(params, cache, tok0, pos0, active, done0):
+        def decode_chunk(params, qp, cache, tok0, pos0, active, done0):
             """``chunk`` greedy steps over all slots; returns the emitted
             (B, chunk) tokens + updated state.  Inactive/done rows feed
             EOS and freeze their position."""
@@ -181,12 +185,12 @@ class BatchEngine:
             def step(carry, _):
                 toks, pos, cache, done = carry
                 if self.qp is not None:
-                    emb = self._q_embed(toks[:, None])
+                    emb = self._q_embed(qp, toks[:, None])
                     hidden, cache = self._q_forward(
-                        self.qp, cfg.llm, emb,
+                        qp, cfg.llm, emb,
                         jnp.ones_like(toks[:, None], dtype=bool),
                         pos[:, None], cache)
-                    logits = self._q_logits(hidden)[:, -1]
+                    logits = self._q_logits(qp, hidden)[:, -1]
                 else:
                     logits, cache = model.apply(
                         {'params': params}, toks[:, None], cache,
@@ -204,7 +208,7 @@ class BatchEngine:
         self._kv_bits = kv_bits
         self._prefill = jax.jit(prefill_one)
         self._insert = jax.jit(insert, donate_argnums=(0,))
-        self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
+        self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(2,))
 
         cache = self._fresh_cache(max_slots)
         cache['index'] = jnp.zeros((max_slots,), jnp.int32)  # per-row
@@ -263,7 +267,7 @@ class BatchEngine:
                     image, ids, rslot, valid)
             else:
                 logits, one, vis, next_pos = self._prefill(
-                    self.params, jnp.asarray(image)[None],
+                    self.params, self.qp, jnp.asarray(image)[None],
                     jnp.asarray(ids)[None], jnp.asarray(rslot)[None],
                     jnp.asarray(valid)[None])
             tok0 = int(jnp.argmax(logits[0]))
@@ -307,11 +311,12 @@ class BatchEngine:
         for ci in range(n_chunks):
             lo = ci * c
             hidden, cache = self._chunk_fwd(
-                emb[:, lo:lo + c], valid_d[:, lo:lo + c],
+                self.qp, emb[:, lo:lo + c], valid_d[:, lo:lo + c],
                 pos[:, lo:lo + c], cache)
             if ci + 1 < n_chunks and self._active.any():
                 self._decode_burst()     # keep live streams moving
-        logits = self._last_logits(hidden, last_idx - (n_chunks - 1) * c)
+        logits = self._last_logits(
+            self.qp, hidden, last_idx - (n_chunks - 1) * c)
         next_pos = jnp.asarray([[pos_np[last_idx] + 1]], jnp.int32)
         return logits, cache, vis, next_pos
 
@@ -328,8 +333,8 @@ class BatchEngine:
         tokens to their sessions."""
         active_j = jnp.asarray(self._active)
         self._cache, out, self._tok, self._pos, self._done = \
-            self._decode_chunk(self.params, self._cache, self._tok,
-                               self._pos, active_j, self._done)
+            self._decode_chunk(self.params, self.qp, self._cache,
+                               self._tok, self._pos, active_j, self._done)
         out_np = np.asarray(out)
         done_np = np.asarray(self._done)
         for slot in range(self.max_slots):
