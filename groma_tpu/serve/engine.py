@@ -286,6 +286,11 @@ class BatchEngine:
             sess._q.put(tok0)
             if tok0 == self.eos_id:
                 self._finish(slot)
+            if self.prefill_chunk_tokens and not self._queue.empty() \
+                    and self._active.any():
+                # back-to-back admissions: keep live streams fed between
+                # them too, not just between one admission's chunks
+                self._decode_burst()
 
     def _chunked_prefill(self, image, ids, rslot, valid):
         """Vision + surgery once, then LLM prefill in fixed-size chunks
