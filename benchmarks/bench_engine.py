@@ -38,7 +38,7 @@ if on_tpu:
         perceiver=PerceiverConfig(vit=ViTConfig(dtype='bfloat16'),
                                   ddetr=DDETRConfig(dtype='bfloat16'),
                                   image_size=448))
-    SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 4, 8, 48, 12, 192
+    SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 8, 16, 48, 24, 192
     seq_len = 768
 else:
     from __graft_entry__ import _small_cfg
@@ -95,11 +95,12 @@ qp = {
 qp = jax.jit(lambda x: x)(qp)
 
 
-def drive(prefill_chunk):
+def drive(prefill_chunk, admit_batch=1):
     eng = BatchEngine(model, params, max_slots=SLOTS,
                       max_len=seq_len + MAXNEW + 8, eos_id=-1,
                       chunk=CHUNK, max_new_tokens=MAXNEW, qp=qp,
-                      kv_bits=8, prefill_chunk_tokens=prefill_chunk)
+                      kv_bits=8, prefill_chunk_tokens=prefill_chunk,
+                      admit_batch=admit_batch)
     try:
         # warmup: compile every program (one request through the engine)
         s0 = eng.submit(image, t['input_ids'], t['region_slot'],
@@ -139,9 +140,12 @@ def drive(prefill_chunk):
         bursts = [t for a, t in zip(v[1:], v[2:]) if t - a > 2e-3]
         for a, b in zip([v[1]] + bursts, bursts):
             worst = max(worst, b - a)
-    mode = f'chunked({prefill_chunk})' if prefill_chunk else 'one-shot'
+    mode = f'chunked({prefill_chunk})' if prefill_chunk else (
+        f'one-shot admit_batch={admit_batch}')
+    tag = ('chunked' if prefill_chunk
+           else f'oneshot_ab{admit_batch}')
     print(json.dumps({
-        'metric': f'engine_aggregate_tok_per_sec_{"chunked" if prefill_chunk else "oneshot"}',
+        'metric': f'engine_aggregate_tok_per_sec_{tag}',
         'value': round(total_toks / dt, 2), 'unit': 'tok/s'}), flush=True)
     print(f'# {mode}: {NREQ} reqs x {MAXNEW} new tokens in {dt:.1f}s '
           f'({NREQ / dt * 60:.1f} req/min, {total_toks / dt:.0f} tok/s '
@@ -150,4 +154,5 @@ def drive(prefill_chunk):
 
 
 drive(0)
+drive(0, admit_batch=4)
 drive(PCHUNK)

@@ -65,7 +65,8 @@ class BatchEngine:
                  max_len: Optional[int] = None, eos_id: int = 2,
                  chunk: int = 8, max_new_tokens: int = 256,
                  qp: Optional[dict] = None, kv_bits: int = 16,
-                 prefill_chunk_tokens: Optional[int] = None):
+                 prefill_chunk_tokens: Optional[int] = None,
+                 admit_batch: int = 1):
         """``prefill_chunk_tokens`` (quantized path only) enables CHUNKED
         PREFILL: a new request's prompt is prefilled in fixed-size token
         chunks with a decode burst for the active slots between chunks,
@@ -84,6 +85,12 @@ class BatchEngine:
         if prefill_chunk_tokens is not None and qp is None:
             raise ValueError('chunked prefill requires the quantized path')
         self.prefill_chunk_tokens = prefill_chunk_tokens
+        # admit_batch > 1 compiles a SECOND prefill program at b=K and
+        # admits up to K queued requests per call — b=1 vision+prefill is
+        # the serving bottleneck for short-answer workloads (REC), and a
+        # batched admission amortizes it ~Kx.  Static shape: when fewer
+        # than K requests are waiting the b=1 program is used instead.
+        self.admit_batch = max(1, admit_batch)
 
         # NOTE: every jitted program takes the weights (params / qp) as
         # ARGUMENTS — closing over the multi-GB quantized tree bakes it
@@ -116,8 +123,8 @@ class BatchEngine:
                     base_valid, method=GromaModel.prepare_stream)
                 pos = jnp.maximum(
                     jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
-                cache = self._fresh_cache(1)
-                cache['index'] = jnp.zeros((), jnp.int32)  # b=1: scalar
+                cache = self._fresh_cache(images.shape[0])
+                cache['index'] = jnp.zeros((), jnp.int32)  # shared scalar
                 hidden, cache = quant_llama_forward(
                     qp, cfg.llm, emb, valid, pos, cache)
                 last = jnp.argmax(pos, axis=-1)
@@ -160,20 +167,21 @@ class BatchEngine:
                     base_valid, max_len=self.max_len,
                     method=GromaModel.prefill)
 
-        def insert(cache, one, slot, write_index):
-            """Copy a b=1 prefill cache into batch row ``slot``."""
+        def insert(cache, one, row, slot, write_index):
+            """Copy row ``row`` of a b>=1 prefill cache into batch row
+            ``slot`` of the engine cache."""
+            def put(c, o, nd):
+                o = jax.lax.dynamic_slice_in_dim(o, row, 1, axis=0)
+                return jax.lax.dynamic_update_slice(
+                    c, o, (slot,) + (0,) * (nd - 1))
             out = dict(cache)
-            out['k'] = [jax.lax.dynamic_update_slice(c, o, (slot, 0, 0, 0))
-                        for c, o in zip(cache['k'], one['k'])]
-            out['v'] = [jax.lax.dynamic_update_slice(c, o, (slot, 0, 0, 0))
-                        for c, o in zip(cache['v'], one['v'])]
+            out['k'] = [put(c, o, 4) for c, o in zip(cache['k'], one['k'])]
+            out['v'] = [put(c, o, 4) for c, o in zip(cache['v'], one['v'])]
             for key in ('k_scale', 'v_scale'):
                 if key in cache:
-                    out[key] = [
-                        jax.lax.dynamic_update_slice(c, o, (slot, 0, 0))
-                        for c, o in zip(cache[key], one[key])]
-            out['mask'] = jax.lax.dynamic_update_slice(
-                cache['mask'], one['mask'], (slot, 0))
+                    out[key] = [put(c, o, 3)
+                                for c, o in zip(cache[key], one[key])]
+            out['mask'] = put(cache['mask'], one['mask'], 2)
             out['index'] = cache['index'].at[slot].set(write_index)
             return out
 
@@ -257,40 +265,72 @@ class BatchEngine:
             free = [i for i in range(self.max_slots) if not self._active[i]]
             if not free:
                 return
-            slot = free[0]
-            try:
-                sess, image, ids, rslot, valid = self._queue.get_nowait()
-            except queue.Empty:
+            # pull up to admit_batch waiting requests (bounded by free
+            # slots); a full group runs the batched b=K prefill program,
+            # a partial group falls back to per-request b=1 admissions
+            group = []
+            while len(group) < min(self.admit_batch, len(free)):
+                try:
+                    group.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            if not group:
                 return
-            if self.prefill_chunk_tokens:
-                logits, one, vis, next_pos = self._chunked_prefill(
-                    image, ids, rslot, valid)
-            else:
+            if len(group) == self.admit_batch and self.admit_batch > 1 \
+                    and not self.prefill_chunk_tokens:
+                reqs = group
                 logits, one, vis, next_pos = self._prefill(
-                    self.params, self.qp, jnp.asarray(image)[None],
-                    jnp.asarray(ids)[None], jnp.asarray(rslot)[None],
-                    jnp.asarray(valid)[None])
-            tok0 = int(jnp.argmax(logits[0]))
-            sess.vis = jax.tree_util.tree_map(
-                np.asarray, {'selected_boxes': vis['selected_boxes'][0],
-                             'selected_mask': vis['selected_mask'][0]})
-            self._cache = self._insert(self._cache, one, slot,
-                                       one['index'])
-            self._tok = self._tok.at[slot].set(tok0)
-            self._pos = self._pos.at[slot].set(int(next_pos[0, 0]))
-            self._done = self._done.at[slot].set(tok0 == self.eos_id)
-            self._active[slot] = True
-            self._emitted[slot] = 1
-            self._sessions[slot] = sess
-            sess.tokens.append(tok0)
-            sess._q.put(tok0)
-            if tok0 == self.eos_id:
-                self._finish(slot)
-            if self.prefill_chunk_tokens and not self._queue.empty() \
-                    and self._active.any():
-                # back-to-back admissions: keep live streams fed between
-                # them too, not just between one admission's chunks
-                self._decode_burst()
+                    self.params, self.qp,
+                    jnp.asarray(np.stack([r[1] for r in reqs])),
+                    jnp.asarray(np.stack([r[2] for r in reqs])),
+                    jnp.asarray(np.stack([r[3] for r in reqs])),
+                    jnp.asarray(np.stack([r[4] for r in reqs])))
+                for row, req in enumerate(reqs):
+                    self._seat(free[row], req[0], logits[row],
+                               one, row, vis, int(next_pos[row, 0]))
+            else:
+                for row, req in enumerate(group):
+                    sess, image, ids, rslot, valid = req
+                    if self.prefill_chunk_tokens:
+                        logits, one, vis, next_pos = self._chunked_prefill(
+                            image, ids, rslot, valid)
+                    else:
+                        logits, one, vis, next_pos = self._prefill(
+                            self.params, self.qp, jnp.asarray(image)[None],
+                            jnp.asarray(ids)[None],
+                            jnp.asarray(rslot)[None],
+                            jnp.asarray(valid)[None])
+                    self._seat(free[row], sess, logits[0], one, 0, vis,
+                               int(next_pos[0, 0]),
+                               vis_row=0)
+                    if self.prefill_chunk_tokens \
+                            and not self._queue.empty() \
+                            and self._active.any():
+                        # back-to-back admissions: keep live streams fed
+                        # between them, not just between prompt chunks
+                        self._decode_burst()
+
+    def _seat(self, slot, sess, row_logits, one, row, vis, next_pos_val,
+              vis_row=None):
+        """Install one prefilled request (row ``row`` of ``one``) into
+        engine ``slot`` and emit its first token."""
+        vr = row if vis_row is None else vis_row
+        tok0 = int(jnp.argmax(row_logits))
+        sess.vis = jax.tree_util.tree_map(
+            np.asarray, {'selected_boxes': vis['selected_boxes'][vr],
+                         'selected_mask': vis['selected_mask'][vr]})
+        self._cache = self._insert(self._cache, one, row, slot,
+                                   one['index'])
+        self._tok = self._tok.at[slot].set(tok0)
+        self._pos = self._pos.at[slot].set(next_pos_val)
+        self._done = self._done.at[slot].set(tok0 == self.eos_id)
+        self._active[slot] = True
+        self._emitted[slot] = 1
+        self._sessions[slot] = sess
+        sess.tokens.append(tok0)
+        sess._q.put(tok0)
+        if tok0 == self.eos_id:
+            self._finish(slot)
 
     def _chunked_prefill(self, image, ids, rslot, valid):
         """Vision + surgery once, then LLM prefill in fixed-size chunks

@@ -177,3 +177,33 @@ def test_chunked_prefill_engine_matches_oneshot_engine(rng):
     want = run()
     got = run(prefill_chunk_tokens=5)     # ragged: stream len % 5 != 0
     assert got == want, (got, want)
+
+
+def test_batched_admission_matches_single(rng):
+    """admit_batch=2 (batched b=2 prefill + row-wise slot insertion) must
+    produce the same greedy streams as per-request admission."""
+    from groma_tpu.eval.generate_quant import quantize_groma_llm
+
+    model = GromaModel(CFG)
+    tok, reqs = _requests(rng, 4)
+    params = model.init(
+        jax.random.PRNGKey(0), images=jnp.asarray(reqs[0][0])[None],
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+    qp = quantize_groma_llm(params, CFG)
+
+    def run(**kw):
+        eng = BatchEngine(model, params, max_slots=2,
+                          max_len=CFG.max_seq_len + MAX_NEW + 8,
+                          eos_id=tok.sp.eos, chunk=2,
+                          max_new_tokens=MAX_NEW, qp=qp, **kw)
+        try:
+            sessions = [eng.submit(*r) for r in reqs]
+            return [[t for t in s.token_stream()] for s in sessions]
+        finally:
+            eng.close()
+
+    want = run()
+    got = run(admit_batch=2)
+    assert got == want, (got, want)
