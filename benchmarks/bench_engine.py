@@ -102,11 +102,13 @@ def drive(prefill_chunk, admit_batch=1):
                       kv_bits=8, prefill_chunk_tokens=prefill_chunk,
                       admit_batch=admit_batch)
     try:
-        # warmup: compile every program (one request through the engine)
-        s0 = eng.submit(image, t['input_ids'], t['region_slot'],
-                        t['valid'])
-        for _ in s0.token_stream():
-            pass
+        # warmup: compile every program — enough simultaneous requests
+        # to trigger the batched-admission prefill too
+        warm = [eng.submit(image, t['input_ids'], t['region_slot'],
+                           t['valid']) for _ in range(max(1, admit_batch))]
+        for s0 in warm:
+            for _ in s0.token_stream():
+                pass
 
         stamps = {i: [] for i in range(NREQ)}
         t0 = time.perf_counter()
