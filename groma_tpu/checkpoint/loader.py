@@ -121,8 +121,11 @@ def load_groma(path: str, dtype: Optional[str] = None):
         from groma_tpu.config import tiny_groma_config
         cfg = tiny_groma_config()
         model = GromaModel(cfg)
-        params = model.init(jax.random.PRNGKey(0),
-                            **_dummy_batch(cfg))['params']
+        # jit the init: eager flax init is hundreds of tiny dispatches
+        # (minutes over a remote-execution tunnel); one program is seconds
+        params = jax.jit(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               **_dummy_batch(cfg)))()['params']
         return model, params, cfg
 
     with open(os.path.join(path, 'config.json')) as f:

@@ -61,7 +61,9 @@ def main():
 
     model = Perceiver(cfg)
     if params is None:
-        params = model.init(jax.random.PRNGKey(0), img)['params']
+        params = jax.jit(
+            lambda im: model.init(jax.random.PRNGKey(0), im))(
+            img)['params']
     out = jax.jit(lambda p, im: model.apply({'params': p}, im))(
         params, img)
     boxes = out['pred_boxes'][0]
