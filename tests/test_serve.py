@@ -81,3 +81,35 @@ def test_lottery_dispatch():
     picks = [c.get_worker_address('m') for _ in range(200)]
     # speed-weighted: 'b' should dominate
     assert picks.count('b') > 120
+
+
+def test_worker_quant_engine_stream():
+    """Tiny worker end to end over HTTP: continuous-batching engine +
+    int8 weight-only LLM + chunked prefill (the new serving flags)."""
+    from groma_tpu.serve.worker import ModelWorker, make_handler as mk_w
+
+    w = ModelWorker('tiny', use_engine=True, engine_slots=2,
+                    quant_type='int8', kv_bits=16, prefill_chunk=16)
+    httpd = ThreadingHTTPServer(('127.0.0.1', 0), mk_w(w))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        sz = w.cfg.perceiver.image_size
+        image = [[[0.1, 0.2, 0.3]] * sz] * sz
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/worker_generate_stream',
+            data=json.dumps({'prompt': 'what is here?', 'image': image,
+                             'max_new_tokens': 6}).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            body = r.read().decode(errors='replace')
+        assert 'error_code' in body
+        frames = [json.loads(x) for x in body.split('\0') if
+                  x.strip().startswith('{')]
+        assert frames and frames[-1]['error_code'] == 0
+        assert 'boxes' in frames[-1]
+    finally:
+        httpd.shutdown()
+        if w.engine is not None:
+            w.engine.close()
