@@ -69,6 +69,17 @@ def auction_match(cost: jnp.ndarray, tgt_valid: jnp.ndarray,
     matrix: every unassigned target bids for its best query with increment
     (best - second_best + eps); highest bid wins the query.  Invalid target
     slots never bid.
+
+    The benefit matrix is NORMALIZED to unit range per instance before
+    bidding (the assignment is invariant to positive scaling), so ``eps``
+    is a RELATIVE precision and the round count is scale-free.  Without
+    this, DETR matching costs (range ~20: focal + L1 + GIoU) made
+    eps=1e-4 an effective 5e-6 relative precision — the auction crawled
+    through thousands of rounds (~930 ms of a det-pretrain step; ~90 ms
+    normalized).  Near-optimality: total cost within T·eps·range of the
+    optimum.  (ε-scaling with price carryover is NOT applicable here:
+    with Q >> T, unassigned queries keep phase-inflated prices, which
+    breaks the ε-CS optimality argument — measured 2-4x worse matchings.)
     """
     b, q, t = cost.shape
     benefit = -jnp.nan_to_num(cost.astype(jnp.float32), nan=BIG,
@@ -79,6 +90,9 @@ def auction_match(cost: jnp.ndarray, tgt_valid: jnp.ndarray,
 
     def single(ben, valid):
         # ben: (T, Q); valid: (T,)
+        vben = jnp.where(valid[:, None], ben, jnp.nan)
+        rng_ = jnp.nan_to_num(jnp.nanmax(vben) - jnp.nanmin(vben), nan=0.0)
+        ben = ben / jnp.maximum(rng_, 1e-30)
         tgt_ids = jax.lax.broadcasted_iota(jnp.int32, (t,), 0)
         q_ids = jax.lax.broadcasted_iota(jnp.int32, (q,), 0)
 
