@@ -56,7 +56,7 @@ def main():
     # e2e); the driver-parsed headline (vision img/s) prints LAST
     _run_sub('benchmarks/bench_train.py')
     _run_sub('benchmarks/bench_decode_int8.py', timeout=2400)
-    _run_sub('benchmarks/bench_decode_int4.py')
+    _run_sub('benchmarks/bench_decode_int4.py', timeout=2400)
     _run_sub('benchmarks/bench_e2e.py')
     import jax
     import jax.numpy as jnp

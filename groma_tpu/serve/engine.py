@@ -81,7 +81,11 @@ class BatchEngine:
         self.chunk = chunk
         self.max_new_tokens = max_new_tokens
         self.max_slots = max_slots
-        self.max_len = max_len or cfg.max_seq_len + max_new_tokens + 8
+        max_len = max_len or cfg.max_seq_len + max_new_tokens + 8
+        # round up to a 128 multiple: the fused Pallas decode-attention
+        # kernel (ops/decode_attention.py) requires lane-aligned cache
+        # length and silently falls back to the slower XLA chain otherwise
+        self.max_len = -(-max_len // 128) * 128
         if prefill_chunk_tokens is not None and qp is None:
             raise ValueError('chunked prefill requires the quantized path')
         self.prefill_chunk_tokens = prefill_chunk_tokens
@@ -247,9 +251,16 @@ class BatchEngine:
 
     # ------------------------------------------------------------- API
 
-    def submit(self, image, input_ids, region_slot, base_valid) -> Session:
-        """Enqueue one request (unbatched arrays); returns its Session."""
+    def submit(self, image, input_ids, region_slot, base_valid,
+               max_new_tokens: Optional[int] = None) -> Session:
+        """Enqueue one request (unbatched arrays); returns its Session.
+
+        ``max_new_tokens`` caps THIS request's generation (bounded by the
+        engine-wide ``max_new_tokens``); without a per-request cap a
+        short consumer would leave its slot decoding to the engine cap."""
         sess = Session()
+        sess.max_new = min(max_new_tokens or self.max_new_tokens,
+                           self.max_new_tokens)
         self._queue.put((sess, image, input_ids, region_slot, base_valid))
         return sess
 
@@ -363,6 +374,13 @@ class BatchEngine:
         logits = self._last_logits(
             self.qp, hidden, last_idx - (n_chunks - 1) * c)
         next_pos = jnp.asarray([[pos_np[last_idx] + 1]], jnp.int32)
+        # decode must write KV at last_idx+1, NOT at the chunk-rounded
+        # cache index (n_chunks*c can exceed the one-shot stream length
+        # by up to c-1 and overflow max_len's headroom, silently dropping
+        # decode KV writes).  The final chunk's trailing pad slots are
+        # mask-False, so overwriting them is safe and exactly matches the
+        # one-shot layout up to ignored positions.
+        cache['index'] = jnp.int32(last_idx + 1)
         return logits, cache, vis, next_pos
 
     def _finish(self, slot):
@@ -386,16 +404,18 @@ class BatchEngine:
             if not self._active[slot]:
                 continue
             sess = self._sessions[slot]
+            cap = getattr(sess, 'max_new', self.max_new_tokens)
+            hit_eos = False
             for t in out_np[slot]:
                 t = int(t)
                 sess.tokens.append(t)
                 sess._q.put(t)
                 self._emitted[slot] += 1
-                if t == self.eos_id:
+                hit_eos = t == self.eos_id
+                if hit_eos or self._emitted[slot] >= cap:
                     break
-            hit_eos = self.eos_id in out_np[slot].tolist()
             if hit_eos or done_np[slot] \
-                    or self._emitted[slot] >= self.max_new_tokens:
+                    or self._emitted[slot] >= cap:
                 self._finish(slot)
 
     def _loop(self):

@@ -61,10 +61,15 @@ class ModelWorker:
             # step through slot interleaving (serve/engine.py) — true
             # per-token streaming, no per-request serialization
             from groma_tpu.serve.engine import BatchEngine
+            # cache sized for the engine-wide generation cap (a request
+            # asking for more is clamped; engine.submit enforces the
+            # per-request cap so short consumers free their slot)
+            engine_max_new = 256
             self.engine = BatchEngine(
                 self.model, self.params, max_slots=engine_slots,
-                max_len=self.cfg.max_seq_len + 64,
+                max_len=self.cfg.max_seq_len + engine_max_new + 8,
                 eos_id=self.tokenizer.sp.eos, qp=qp,
+                max_new_tokens=engine_max_new,
                 kv_bits=kv_bits if qp is not None else 16,
                 prefill_chunk_tokens=prefill_chunk or None)
             limit = max(limit, engine_slots)
@@ -157,7 +162,7 @@ class ModelWorker:
                     # interleave in the shared cache
                     sess = self.engine.submit(
                         image, t['input_ids'], t['region_slot'],
-                        t['valid'])
+                        t['valid'], max_new_tokens=max_new)
                     n = 0
                     for tk in sess.token_stream():
                         if tk != eos:
