@@ -88,16 +88,53 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw,
     return x
 
 
+class _SlicedConv(nn.Module):
+    """3x3 no-bias conv over CHANNEL SLICES of its input: applies the one
+    stored kernel sliced along the input-channel axis to each piece and
+    sums — mathematically identical to conv(concat(pieces)) but without
+    materializing the concatenation.  The parameter path/shape matches
+    nn.Conv ('kernel', (3, 3, cin, features)), so checkpoints and the HF
+    importer are unaffected."""
+    features: int
+    cin: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pieces):
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, self.cin, self.features))
+        acc = None
+        off = 0
+        for p in pieces:
+            c = p.shape[-1]
+            k = kernel[:, :, off:off + c, :].astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                p.astype(self.dtype), k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+            off += c
+        assert off == self.cin, (off, self.cin)
+        return acc.astype(self.dtype)
+
+
 class ConvModuleGN(nn.Module):
-    """mmcv ConvModule(conv 3x3 no-bias -> GroupNorm(64) -> ReLU)."""
+    """mmcv ConvModule(conv 3x3 no-bias -> GroupNorm(64) -> ReLU).
+
+    ``x`` may be a tuple of channel slices (see _SlicedConv)."""
     features: int
     groups: int = 64
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, dtype=self.dtype, name='conv')(x)
+        if isinstance(x, (tuple, list)):
+            cin = sum(p.shape[-1] for p in x)
+            x = _SlicedConv(self.features, cin, dtype=self.dtype,
+                            name='conv')(x)
+        else:
+            x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                        use_bias=False, dtype=self.dtype, name='conv')(x)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
                          dtype=self.dtype, name='gn')(x)
         return nn.relu(x)
@@ -151,8 +188,12 @@ class MLVLFuse(nn.Module):
                 from_down = resize_bilinear_align_corners(
                     feats[down][..., remain:remain + shuffle],
                     hw).astype(tar.dtype)
-                fused.append(jnp.concatenate([keep, from_top, from_down],
-                                             axis=-1))
+                # conv(cat(a, b, c)) == conv_a(a) + conv_b(b) + conv_c(c)
+                # with the kernel sliced along its input-channel axis:
+                # skips materializing the (B, H, W, 1024) concat (~4 ms
+                # per b8 vision batch); the stored parameter layout is
+                # unchanged (checkpoint/import compatible)
+                fused.append((keep, from_top, from_down))
             feats = [conv(f) for f in fused]
         return feats
 
