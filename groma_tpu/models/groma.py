@@ -312,7 +312,8 @@ class GromaModel(nn.Module):
                 max_len: int, refer_boxes=None, refer_valid=None,
                 ground_boxes=None, ground_valid=None, use_flash=False):
         """Vision + surgery + first LLM pass, filling a fresh KV cache.
-        Returns (last_valid_logits (B, V), cache, vis)."""
+        Returns (last_valid_logits (B, V), cache, vis, next_pos) where
+        next_pos (B, 1) is the position id of the first decode step."""
         vis = self.vision(images, refer_boxes, refer_valid,
                           ground_boxes, ground_valid, use_flash=use_flash)
         emb, ids, _, valid = self.build_stream(

@@ -63,7 +63,7 @@ def mha_reference(q, k, v, kv_mask=None, causal=False, scale=None):
 
 # ------------------------------------------------- forward (single kv block)
 
-def _fwd_wholekv_kernel(q_ref, k_ref, v_ref, cnt_ref, o_ref, lse_ref=None,
+def _fwd_wholekv_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None,
                         *, scale, block_q, seq_kv, skv_p, need_lse):
     """Encoder-shape forward: the whole kv range lives in one block, heads
     are batched into the leading block dim.
@@ -75,23 +75,27 @@ def _fwd_wholekv_kernel(q_ref, k_ref, v_ref, cnt_ref, o_ref, lse_ref=None,
     k arrives pre-transposed as (hb, d, skv_p) so both dots contract
     MXU-naturally (lhs last dim x rhs first dim) — no in-kernel relayout.
 
-    Masking is algebraic, not elementwise: invalid/pad key columns are
-    ZEROED outside the kernel, so their scores are exactly 0 and their
-    softmax contribution is exp(-m) each; subtracting
-    ``invalid_count * exp(-m)`` from the denominator removes them without
-    a single iota/compare/where pass over the (hb, bq, skv_p) block.
-    Their p-columns do hit the second dot, but v is zeroed there too, so
-    the numerator is exact."""
+    Masking needs no iota pass: invalid/pad key columns are ZEROED
+    outside the kernel, so their scores are EXACTLY +0.0 (a dot with an
+    all-zero column) and one ``where(s == 0)`` select removes them from
+    the softmax exactly.  (A previous variant subtracted
+    ``invalid_count * exp(-m)`` from the denominator algebraically; that
+    cancels catastrophically in f32 when every valid score sits far
+    below the pad-pinned row max m>=0 — e.g. all valid scores <= -15
+    with DINOv2@448's 127 pad columns — so the exact select is used
+    instead.)  A true valid score of exactly +0.0 is also dropped from
+    the softmax; that event has measure zero for real dot products and
+    biases the row by at most one e^{-m} term.  v is zeroed at pad
+    columns too, so the numerator is exact either way."""
     q = q_ref[0]                                     # (hb, bq, d)
     kt = k_ref[0]                                    # (hb, d, skv_p)
     s = jax.lax.dot_general(
         q, kt, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale  # (hb, bq, skv_p)
 
-    inv_cnt = cnt_ref[0, 0, 0]                       # scalar f32
     m = jnp.max(s, axis=-1, keepdims=True)           # >= 0 when pad exists
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True) - inv_cnt * jnp.exp(-m)
+    p = jnp.where(s == 0.0, 0.0, jnp.exp(s - m))     # pads contribute 0
+    l = jnp.sum(p, axis=-1, keepdims=True)
     safe_l = jnp.where(l > 1e-20, l, 1.0)
     v = v_ref[0]
     o = jax.lax.dot_general(
@@ -121,8 +125,6 @@ def _fwd_wholekv(q, k, v, kv_mask, scale, block_q, interpret,
     ktp = jnp.pad((k * mz).transpose(0, 1, 3, 2),
                   ((0, 0), (0, 0), (0, 0), (0, skv_p - skv)))
     vp = jnp.pad(v * mz, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
-    inv_cnt = (skv_p - jnp.sum(kv_mask, axis=-1)).astype(jnp.float32)
-    inv_cnt = jnp.broadcast_to(inv_cnt[:, None, None], (b, 8, 128))
 
     # heads per block: amortize grid-step overhead, cap the fp32 score
     # block (hb * block_q * skv_p * 4B) at ~4 MB of VMEM
@@ -153,12 +155,11 @@ def _fwd_wholekv(q, k, v, kv_mask, scale, block_q, interpret,
                          lambda ib, ih, iq: (ib, ih, 0, 0)),
             pl.BlockSpec((1, hb, skv_p, d),
                          lambda ib, ih, iq: (ib, ih, 0, 0)),
-            pl.BlockSpec((1, 8, 128), lambda ib, ih, iq: (ib, 0, 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(qp, ktp, vp, inv_cnt)
+    )(qp, ktp, vp)
 
     out = res[0][:, :, :sq]
     lse = res[1][:, :, :sq, 0] if need_lse else None

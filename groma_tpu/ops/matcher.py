@@ -90,7 +90,14 @@ def auction_match(cost: jnp.ndarray, tgt_valid: jnp.ndarray,
 
     def single(ben, valid):
         # ben: (T, Q); valid: (T,)
-        vben = jnp.where(valid[:, None], ben, jnp.nan)
+        # normalization range from FINITE-magnitude entries only: NaN/inf
+        # costs were mapped to +/-BIG above, and a single such entry in a
+        # valid row would inflate rng_ to ~BIG, collapsing all finite
+        # benefit differences below eps (arbitrary matching for that
+        # instance).  |ben| >= BIG entries still participate in bidding —
+        # they just don't set the scale.
+        finite = valid[:, None] & (jnp.abs(ben) < BIG)
+        vben = jnp.where(finite, ben, jnp.nan)
         rng_ = jnp.nan_to_num(jnp.nanmax(vben) - jnp.nanmin(vben), nan=0.0)
         ben = ben / jnp.maximum(rng_, 1e-30)
         tgt_ids = jax.lax.broadcasted_iota(jnp.int32, (t,), 0)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import threading
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -19,6 +20,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from groma_tpu.constants import WORKER_HEART_BEAT_INTERVAL
+
+logger = logging.getLogger('groma_tpu.serve.worker')
 
 
 class ModelWorker:
@@ -160,6 +163,14 @@ class ModelWorker:
                     # continuous-batching path: tokens stream out as the
                     # engine's decode chunks land; concurrent requests
                     # interleave in the shared cache
+                    if float(request.get('temperature', 0.0)) > 0:
+                        # engine decoding is greedy; surface the mismatch
+                        # instead of silently ignoring the knob (the
+                        # non-engine bf16 path honors temperature)
+                        logger.warning(
+                            'engine mode decodes greedily; request '
+                            'temperature=%s ignored',
+                            request.get('temperature'))
                     sess = self.engine.submit(
                         image, t['input_ids'], t['region_slot'],
                         t['valid'], max_new_tokens=max_new)

@@ -94,3 +94,20 @@ def test_flash_bf16_close_to_fp32_reference(rng):
     want = mha_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(want), atol=3e-2)
+
+
+def test_flash_wholekv_degenerate_negative_scores(rng):
+    """All valid scores far below the pad-pinned row max must not drown in
+    f32 rounding of the pad mass (ADVICE r2: the old algebraic denominator
+    sum(p) - inv_cnt*exp(-m) cancels catastrophically when every valid
+    score <= ~-15 with ~100+ pad columns, e.g. DINOv2@448 pads 1025->1152)."""
+    b, h, skv, d = 1, 2, 1025, 32  # non-multiple of 128 -> 127 pad columns
+    q, k, v = _inputs(rng, b=b, h=h, sq=64, skv=skv, d=d)
+    # force every valid score strongly negative: k = -q_dir * large
+    q = jnp.ones((b, h, 64, d), jnp.float32)
+    k = -jnp.ones((b, h, skv, d), jnp.float32) * 4.0  # score = -4*d*scale ~ -22.6
+    k = k + 0.01 * jnp.asarray(rng.standard_normal(k.shape), jnp.float32)
+    out = flash_attention(q, k, v)  # bidirectional -> wholekv path
+    want = mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-4, rtol=2e-3)
