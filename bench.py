@@ -1,18 +1,20 @@
-"""Benchmark: Groma vision->region-token pipeline throughput on TPU.
+"""Driver benchmark orchestrator for groma_tpu.
 
-Measures BASELINE.json configs 1-3 end-to-end on real hardware: DINOv2-L
-encoder @448² -> DDETR two-stage proposer (300 boxes) -> NMS top-100 select
--> multi-level RoIAlign region tokenization, i.e. the image -> region-token
-half of Groma inference (reference call stack SURVEY §3.3 steps 1-7) at
-full model scale, bf16 compute.
+Runs the benchmark suite on real TPU hardware under a HARD wall-clock
+budget and prints one JSON line per metric
+(``{"metric", "value", "unit", "vs_baseline"}``).
 
-The whole measurement loop runs inside one jit (utils/profiling.py) so the
-number is pure device throughput, immune to host transfer and to the
-remote-execution tunnel's result caching.
+Round-2 postmortem (BENCH_r02.json rc=124): sub-bench budgets summed to
+~7200 s and the driver killed the run before the two headline numbers
+emitted.  This orchestrator therefore (a) runs the vision headline FIRST
+so no later failure can lose it, (b) gives every sub-bench a budget cut
+to the remaining global deadline (default 1400 s, env
+``GROMA_BENCH_DEADLINE``), skipping benches that no longer fit, and
+(c) re-prints the vision headline as the LAST line — the driver parses
+the final JSON line as the headline metric.
 
-Prints ONE JSON line: images/sec.  The reference publishes no throughput
-numbers (SURVEY §6); the driver target is 3x an unmeasured A100 baseline,
-so vs_baseline reports the raw value until an A100 number lands.
+The reference publishes no latency/throughput numbers (SURVEY §6), so
+``vs_baseline`` mirrors the raw value.
 """
 
 import json
@@ -21,17 +23,30 @@ import subprocess
 import sys
 import time
 
-import numpy as np
+T0 = time.time()
+DEADLINE = float(os.environ.get('GROMA_BENCH_DEADLINE', 1400))
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def _run_sub(script, args=(), timeout=1200):
+def _remaining():
+    return DEADLINE - (time.time() - T0)
+
+
+def _run_sub(script, args=(), budget=420, min_needed=90):
     """Run a benchmark script in a subprocess (fresh HBM) and forward its
-    JSON metric lines; failures are reported but never break the headline
-    measurement."""
-    here = os.path.dirname(os.path.abspath(__file__))
+    JSON metric lines; returns the list of parsed metric dicts.  Never
+    raises — a failed sub-bench costs its own metrics only."""
+    rem = _remaining()
+    if rem < min_needed:
+        print(f'# SKIP {script}: {rem:.0f}s left < {min_needed}s needed',
+              file=sys.stderr, flush=True)
+        return []
+    timeout = max(min(budget, rem - 30), 60)
+    got = []
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.join(here, script), *args],
+            [sys.executable, os.path.join(HERE, 'benchmarks', script),
+             *args],
             capture_output=True, text=True, timeout=timeout)
         for line in proc.stdout.splitlines():
             line = line.strip()
@@ -43,81 +58,40 @@ def _run_sub(script, args=(), timeout=1200):
                 continue
             d.setdefault('vs_baseline', d.get('value'))
             print(json.dumps(d), flush=True)
+            got.append(d)
         if proc.returncode != 0:
+            err = proc.stderr.strip().splitlines()
             print(f'# {script} rc={proc.returncode}: '
-                  f'{proc.stderr.strip().splitlines()[-1][:200] if proc.stderr.strip() else ""}',
-                  file=sys.stderr)
+                  f'{err[-1][:200] if err else ""}', file=sys.stderr)
     except subprocess.TimeoutExpired:
-        print(f'# {script} timed out', file=sys.stderr)
+        print(f'# {script} timed out after {timeout:.0f}s',
+              file=sys.stderr, flush=True)
+    print(f'# [{time.time() - T0:.0f}s elapsed] {script} done',
+          file=sys.stderr, flush=True)
+    return got
 
 
 def main():
-    # secondary metrics first (train-step MFU/throughput, int8 decode,
-    # e2e); the driver-parsed headline (vision img/s) prints LAST
-    _run_sub('benchmarks/bench_train.py')
-    _run_sub('benchmarks/bench_decode_int8.py', timeout=2400)
-    _run_sub('benchmarks/bench_decode_int4.py', timeout=2400)
-    _run_sub('benchmarks/bench_e2e.py')
-    import jax
-    import jax.numpy as jnp
-    try:  # persistent compile cache: big win under remote compile
-        jax.config.update('jax_compilation_cache_dir',
-                          '/root/repo/.jax_cache')
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
-    except Exception:
-        pass
-
-    on_tpu = jax.devices()[0].platform == 'tpu'
-    from groma_tpu.config import (DDETRConfig, GromaConfig, LlamaConfig,
-                                  PerceiverConfig, ViTConfig)
-    from groma_tpu.models.groma import GromaModel
-    from groma_tpu.utils.profiling import time_fn_ingraph
-
-    if on_tpu:
-        vit = ViTConfig(dtype='bfloat16')                 # dinov2-large
-        ddetr = DDETRConfig(dtype='bfloat16')             # shipped det cfg
-        perceiver = PerceiverConfig(vit=vit, ddetr=ddetr, image_size=448)
-        llm = LlamaConfig(num_layers=2)  # vision bench: LLM not exercised
-        cfg = GromaConfig(llm=llm, perceiver=perceiver)
-        batch = 8
-        iters = 20      # >=20 amortizes the ~30ms tunnel dispatch to <1%
-    else:  # CPU smoke fallback so the script always emits a line
-        from __graft_entry__ import _small_cfg
-        cfg = _small_cfg()
-        batch = 2
-        iters = 2
-
-    model = GromaModel(cfg)
-    img = cfg.perceiver.image_size
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.standard_normal((batch, img, img, 3)),
-                         jnp.float32)
-
-    params = jax.jit(
-        lambda im: model.init(jax.random.PRNGKey(0), im,
-                              method=GromaModel.vision))(
-        images[:1])['params']
-
-    def vision_fn(params, images):
-        # whole-kv Pallas flash for the ViT (1.06 vs 1.49 ms/layer XLA
-        # at 1025-seq d64 bf16)
-        out = model.apply({'params': params}, images,
-                          method=GromaModel.vision, use_flash=on_tpu)
-        return out['region_tokens']
-
-    sec_per_iter = time_fn_ingraph(vision_fn, (params, images),
-                                   iters=iters, perturb_arg=1)
-    ips = batch / sec_per_iter
-    print(json.dumps({
-        'metric': 'vision_proposer_images_per_sec',
-        'value': round(ips, 3),
-        'unit': 'images/sec',
-        'vs_baseline': round(ips, 3),
-    }))
-    print(f'# platform={jax.devices()[0].platform} batch={batch} '
-          f'iters={iters} sec/iter={sec_per_iter:.4f}', file=sys.stderr)
-    print('# vs_baseline is the raw value: the reference publishes no '
-          'throughput numbers and no A100 is reachable here (SURVEY §6)',
+    # 1. the headline FIRST: vision->region-tokens img/s (driver metric)
+    vision = _run_sub('bench_vision.py', budget=420, min_needed=0)
+    headline = next((d for d in vision
+                     if d['metric'] == 'vision_proposer_images_per_sec'),
+                    None)
+    # 2. training (vl MFU depth series + det step)
+    _run_sub('bench_train.py', budget=420)
+    # 3. quantized decode (int8/int4, B=1 and B=8 serving aggregate)
+    _run_sub('bench_decode_quant.py', budget=420)
+    # 4. end-to-end REC inference
+    _run_sub('bench_e2e.py', budget=300)
+    # 5. re-print the headline LAST (the driver parses the final line);
+    #    fall back to an explicit failure record so the artifact is
+    #    never mislabeled
+    if headline is None:
+        headline = {'metric': 'vision_proposer_images_per_sec',
+                    'value': 0.0, 'unit': 'images/sec', 'vs_baseline': 0.0,
+                    'error': 'vision bench emitted no metric'}
+    print(json.dumps(headline), flush=True)
+    print(f'# total {time.time() - T0:.0f}s of {DEADLINE:.0f}s budget',
           file=sys.stderr)
 
 

@@ -1,10 +1,16 @@
-"""Groma-7B packed-int4 weight-only decode benchmark.
+"""Groma-7B quantized decode benchmark (int8 / packed-int4 weights,
+bf16 or int8 KV cache, single-stream and batched serving shapes).
 
-The fast path behind the reference's bitsandbytes 4-bit switch
-(reference: groma/eval/run_groma.py:43-61): ~3.4 GB of weight streaming
-per step vs 6.7 GB int8 / 13.5 GB bf16.  Also measures the peak serving
-config — int4 weights + int8 KV cache at B=8 (the continuous-batching
-aggregate behind serve/engine.py).
+The TPU fast path behind the reference's bitsandbytes 4/8-bit switch
+(reference: groma/eval/run_groma.py:43-61).  B=1 is interactive decode;
+B=8 with int8 KV is the continuous-batching aggregate behind
+serve/engine.py (weights amortized across slots).
+
+Variants are argv-selectable so the driver path can run a tight subset:
+    python bench_decode_quant.py            # driver set (4 variants)
+    python bench_decode_quant.py all        # + int8+kv8 B=1
+Decode loops run as one in-graph scan (STEPS=256 amortizes the ~30 ms
+tunnel dispatch to <0.1%).
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -18,31 +24,14 @@ from groma_tpu.models.llama import make_kv_cache
 from groma_tpu.models.llama_quant import (make_quant_kv_cache,
                                           quant_llama_forward,
                                           quant_llama_logits)
-from groma_tpu.ops.quant4 import INT4_BLOCK
+from _fixtures import mk_llama_quant_params
 
 cfg = LlamaConfig()
-PRE, STEPS, MAXLEN = 512, 256, 1024  # 256 steps amortize the ~30 ms tunnel dispatch
-H, I, V, L = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size, cfg.num_layers
-rng = np.random.default_rng(0)
-
-def mk_q4(k, n):
-    return {'q': jnp.asarray(rng.integers(0, 255, (k // 2, n)), jnp.uint8),
-            'scale': jnp.full((k // INT4_BLOCK, n), 1e-4, jnp.float32)}
-
-def mk_layer():
-    return {
-      'input_layernorm': jnp.ones((H,), jnp.float32),
-      'post_attention_layernorm': jnp.ones((H,), jnp.float32),
-      'qkv_proj': mk_q4(H, 3 * H), 'o_proj': mk_q4(H, H),
-      'gate_up_proj': mk_q4(H, 2 * I), 'down_proj': mk_q4(I, H),
-    }
-VP = V + (-V) % 512
-qp = {'layers': [mk_layer() for _ in range(L)], 'norm': jnp.ones((H,), jnp.float32),
-      'embed_tokens': jnp.full((V, H), 0.01, jnp.bfloat16), 'lm_head': mk_q4(H, VP)}
-qp = jax.jit(lambda t: t)(qp)
+PRE, STEPS, MAXLEN = 512, 256, 1024
+V = cfg.vocab_size
 
 
-def measure(B, kv8, metric, note=''):
+def measure(qp, B, kv8, metric, note=''):
     def prefill(qp, ids):
         cache = make_quant_kv_cache(cfg, B, MAXLEN) if kv8 \
             else make_kv_cache(cfg, B, MAXLEN)
@@ -66,7 +55,8 @@ def measure(B, kv8, metric, note=''):
                                         jnp.arange(STEPS))
         return toks.sum() + seed
 
-    ids = jnp.asarray(rng.integers(0, V, (B, PRE)), jnp.int32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, V, (B, PRE)),
+                      jnp.int32)
     pf = jax.jit(prefill)
     t0 = time.time()
     logits, cache = pf(qp, ids)
@@ -74,20 +64,34 @@ def measure(B, kv8, metric, note=''):
     print(f'# prefill B={B} {time.time() - t0:.1f}s', file=sys.stderr)
     tok0 = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
     pos0 = jnp.full((B, 1), PRE, jnp.int32)
-    dec = jax.jit(decode_n, donate_argnums=(2,))
+    dec = jax.jit(decode_n)
     float(dec(qp, tok0, cache, pos0, jnp.int32(0)))
-    logits, cache = pf(qp, ids)
     t0 = time.time()
     float(dec(qp, tok0, cache, pos0, jnp.int32(1)))
     dt = time.time() - t0
     print(json.dumps({'metric': metric,
                       'value': round(B * STEPS / dt, 2),
-                      'unit': 'tok/s'}), flush=True)
-    print(f'# B={B} kv8={kv8} {dt / STEPS * 1000:.1f} ms/step {note}',
-          file=sys.stderr)
+                      'unit': 'tok/s',
+                      'vs_baseline': round(B * STEPS / dt, 2)}), flush=True)
+    print(f'# B={B} kv8={kv8} {dt / STEPS * 1000:.1f} ms/step '
+          f'({B * STEPS / dt:.0f} tok/s aggregate) {note}',
+          file=sys.stderr, flush=True)
 
 
-measure(1, False, 'llama7b_int4_decode_tok_per_sec')
-measure(8, True, 'llama7b_int4_kv8_batch8_decode_tok_per_sec',
-        '(peak serving config: int4 weights + int8 KV, '
-        'continuous-batching aggregate)')
+def main(which='driver'):
+    qp8 = mk_llama_quant_params(cfg, bits=8)
+    measure(qp8, 1, False, 'llama7b_int8_decode_tok_per_sec',
+            '(bf16 was 24.1 ms round 1)')
+    if which == 'all':
+        measure(qp8, 1, True, 'llama7b_int8_kv8_decode_tok_per_sec')
+    measure(qp8, 8, True, 'llama7b_int8_kv8_batch8_decode_tok_per_sec',
+            '(continuous-batching aggregate, serve/engine.py)')
+    del qp8
+    qp4 = mk_llama_quant_params(cfg, bits=4)
+    measure(qp4, 1, False, 'llama7b_int4_decode_tok_per_sec')
+    measure(qp4, 8, True, 'llama7b_int4_kv8_batch8_decode_tok_per_sec',
+            '(peak serving config)')
+
+
+if __name__ == '__main__':
+    main(sys.argv[1] if len(sys.argv) > 1 else 'driver')

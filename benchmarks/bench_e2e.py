@@ -83,29 +83,10 @@ def main(batch=1):
 
     # synthetic int8 LLM weights (random real ones load the same way via
     # eval/generate_quant.quantize_groma_llm)
-    H, I, V, L = (cfg.llm.hidden_size, cfg.llm.intermediate_size,
-                  cfg.llm.vocab_size, cfg.llm.num_layers)
-
-    def mk_q(k, n):
-        return {'q': jnp.ones((k, n), jnp.int8),
-                'scale': jnp.full((n,), 1e-4, jnp.float32)}
-
-    qp = {
-        'layers': [{
-            'input_layernorm': jnp.ones((H,), jnp.float32),
-            'post_attention_layernorm': jnp.ones((H,), jnp.float32),
-            'qkv_proj': mk_q(H, 3 * H), 'o_proj': mk_q(H, H),
-            'gate_up_proj': mk_q(H, 2 * I),
-            'down_proj': mk_q(I, H)} for _ in range(L)],
-        'norm': jnp.ones((H,), jnp.float32),
-        'embed_tokens': jnp.full((V, H), 0.01, jnp.bfloat16),
-        'new_input_embs': jnp.full((cfg.num_new_token, H), 0.01,
-                                   jnp.bfloat16),
-        'lm_head': mk_q(H, V),
-        'extra_lm_head': jnp.full((H, cfg.num_new_token), 0.01,
-                                  jnp.bfloat16),
-    }
-    qp = jax.jit(lambda x: x)(qp)
+    from _fixtures import mk_llama_quant_params
+    qp = mk_llama_quant_params(cfg.llm, bits=8,
+                               num_new_token=cfg.num_new_token,
+                               pad_vocab=False)
 
     max_len = seq_len + 8
     base = cfg.llm.vocab_size

@@ -67,31 +67,18 @@ params = jax.tree_util.tree_map(
     lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
     params)
 
-H, I, V, L = (cfg.llm.hidden_size, cfg.llm.intermediate_size,
-              cfg.llm.vocab_size, cfg.llm.num_layers)
-
-
-def mk_q(k, n):
-    return {'q': jnp.ones((k, n), jnp.int8),
-            'scale': jnp.full((n,), 1e-4, jnp.float32)}
-
-
-qp = {
-    'layers': [{
-        'input_layernorm': jnp.ones((H,), jnp.float32),
-        'post_attention_layernorm': jnp.ones((H,), jnp.float32),
-        'qkv_proj': mk_q(H, 3 * H), 'o_proj': mk_q(H, H),
-        'gate_up_proj': mk_q(H, 2 * I),
-        'down_proj': mk_q(I, H)} for _ in range(L)],
-    'norm': jnp.ones((H,), jnp.float32),
-    'embed_tokens': jnp.asarray(
-        rng.standard_normal((V, H)) * 0.02, jnp.bfloat16),
-    'new_input_embs': jnp.asarray(
-        rng.standard_normal((cfg.num_new_token, H)) * 0.02, jnp.bfloat16),
-    'lm_head': mk_q(H, V),
-    'extra_lm_head': jnp.asarray(
-        rng.standard_normal((H, cfg.num_new_token)) * 0.02, jnp.bfloat16),
-}
+H, V = cfg.llm.hidden_size, cfg.llm.vocab_size
+from _fixtures import mk_llama_quant_params  # noqa: E402
+qp = mk_llama_quant_params(cfg.llm, bits=8,
+                           num_new_token=cfg.num_new_token,
+                           pad_vocab=False, device=False)
+# random embeddings/heads so greedy decode produces varied token streams
+qp['embed_tokens'] = jnp.asarray(
+    rng.standard_normal((V, H)) * 0.02, jnp.bfloat16)
+qp['new_input_embs'] = jnp.asarray(
+    rng.standard_normal((cfg.num_new_token, H)) * 0.02, jnp.bfloat16)
+qp['extra_lm_head'] = jnp.asarray(
+    rng.standard_normal((H, cfg.num_new_token)) * 0.02, jnp.bfloat16)
 qp = jax.jit(lambda x: x)(qp)
 
 

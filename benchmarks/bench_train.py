@@ -48,7 +48,7 @@ def _emit(metric, value, unit, note=''):
         print(f'# {note}', file=sys.stderr)
 
 
-def bench_vl(layers=None, batch=None, seq=2048, steps=4):
+def bench_vl(layers=None, batch=None, seq=2048, steps=4, emit=True):
     import jax
     import jax.numpy as jnp
     import optax
@@ -66,7 +66,8 @@ def bench_vl(layers=None, batch=None, seq=2048, steps=4):
                       dtype='bfloat16' if on_tpu else 'float32') \
         if on_tpu else LlamaConfig(
             vocab_size=256, hidden_size=64, intermediate_size=128,
-            num_layers=2, num_heads=4, num_kv_heads=4, dtype='float32')
+            num_layers=layers, num_heads=4, num_kv_heads=4,
+            dtype='float32')
     model = LlamaForCausalLM(cfg, remat=True)
 
     rng = np.random.default_rng(0)
@@ -110,14 +111,70 @@ def bench_vl(layers=None, batch=None, seq=2048, steps=4):
 
     toks = batch * seq / dt
     mfu = flops / dt / _peak() if flops else 0.0
-    _emit('vl_train_step_mfu', mfu * 100, 'percent-of-peak',
-          f'vl train: layers={layers} batch={batch} seq={seq} '
-          f'{dt * 1000:.0f} ms/step {toks:.0f} tok/s loss={lv:.3f} '
-          f'xla_flops={flops:.3g}')
-    _emit('vl_train_tokens_per_sec', toks, 'tokens/sec/chip',
-          f'extrapolated 32-layer 7B: ~{toks * layers / 32:.0f} tok/s/chip '
-          f'(flops-proportional)')
-    return mfu
+    if emit:
+        _emit('vl_train_step_mfu', mfu * 100, 'percent-of-peak',
+              f'vl train: layers={layers} batch={batch} seq={seq} '
+              f'{dt * 1000:.0f} ms/step {toks:.0f} tok/s loss={lv:.3f} '
+              f'xla_flops={flops:.3g}')
+        _emit('vl_train_tokens_per_sec', toks, 'tokens/sec/chip',
+              f'extrapolated 32-layer 7B: ~{toks * layers / 32:.0f} '
+              f'tok/s/chip (flops-proportional)')
+    return dt, flops, toks, mfu
+
+
+def bench_vl_depth_series(depths=(1, 2, 3), batch=2, seq=2048, steps=8):
+    """MFU vs LLM depth + the fitted 32-layer number (round-2 verdict #4).
+
+    fp32 Adam at 7B width fits <=3 decoder layers in 16 GB (16 B/param
+    over 202M/layer + 263M embed/head), so full-depth MFU cannot be
+    measured single-chip; instead measure the depth curve and fit
+    dt(L) and flops(L) linearly in L (both are affine in depth by
+    construction: per-layer cost + fixed embed/lm_head/CE cost), then
+    report the fitted 32-layer MFU with the measured points alongside.
+    If per-layer efficiency were not flat in depth the linear fit would
+    show it (residuals / falling at-depth MFU).
+    """
+    import jax
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    if not on_tpu:
+        depths, batch, seq, steps = (1, 2), 1, 128, 2
+    pts = []
+    for L in depths:
+        dt, flops, toks, mfu = bench_vl(layers=L, batch=batch, seq=seq,
+                                        steps=steps, emit=False)
+        pts.append((L, dt, flops))
+        print(json.dumps({
+            'metric': f'vl_train_step_mfu_at_depth{L}',
+            'value': round(mfu * 100, 3), 'unit': 'percent-of-peak',
+            'vs_baseline': round(mfu * 100, 3),
+            'depth_proxy': f'measured at {L} of 32 layers'}), flush=True)
+        print(f'# depth {L}: {dt * 1000:.0f} ms/step mfu={mfu * 100:.1f}% '
+              f'xla_flops={flops:.3g}', file=sys.stderr)
+    # affine fit dt(L) = a + b L and flops(L) = fa + fb L -> 32 layers
+    Ls = np.array([p[0] for p in pts], np.float64)
+    dts = np.array([p[1] for p in pts], np.float64)
+    fls = np.array([p[2] for p in pts], np.float64)
+    (b_dt, a_dt) = np.polyfit(Ls, dts, 1)
+    (b_fl, a_fl) = np.polyfit(Ls, fls, 1)
+    dt32 = a_dt + 32 * b_dt
+    fl32 = a_fl + 32 * b_fl
+    mfu32 = fl32 / dt32 / _peak()
+    resid = float(np.max(np.abs(np.polyval((b_dt, a_dt), Ls) - dts) / dts))
+    print(json.dumps({
+        'metric': 'vl_train_step_mfu', 'value': round(mfu32 * 100, 3),
+        'unit': 'percent-of-peak', 'vs_baseline': round(mfu32 * 100, 3),
+        'depth_proxy': f'affine fit from depths {list(depths)} '
+                       f'(fp32 Adam caps 16GB at 3 layers); '
+                       f'max fit residual {resid * 100:.1f}%'}), flush=True)
+    print(json.dumps({
+        'metric': 'vl_train_tokens_per_sec',
+        'value': round(batch * seq / dt32, 3), 'unit': 'tokens/sec/chip',
+        'vs_baseline': round(batch * seq / dt32, 3),
+        'depth_proxy': 'fitted 32-layer step time'}), flush=True)
+    print(f'# fitted 32L: {dt32 * 1000:.0f} ms/step '
+          f'mfu={mfu32 * 100:.1f}% residual={resid * 100:.2f}%',
+          file=sys.stderr)
+    return mfu32
 
 
 def bench_det(batch=None, steps=3):
@@ -184,6 +241,8 @@ def bench_det(batch=None, steps=3):
 if __name__ == '__main__':
     which = sys.argv[1] if len(sys.argv) > 1 else 'all'
     if which in ('all', 'vl'):
-        bench_vl()
+        bench_vl_depth_series()
     if which in ('all', 'det'):
         bench_det()
+    if which == 'vl2':   # single-depth quick mode (round-2 behavior)
+        bench_vl()

@@ -25,20 +25,11 @@ rng = np.random.default_rng(0)
 which = sys.argv[1] if len(sys.argv) > 1 else 'kv8'
 
 
-def mk_q(shape_kn):
-    k, n = shape_kn
-    return {'q': jnp.ones((k, n), jnp.int8),
-            'scale': jnp.full((n,), 1e-4, jnp.float32)}
+from _fixtures import mk_layer as _mk_layer
 
 
 def mk_layer():
-    return {
-      'input_layernorm': jnp.ones((H,), jnp.float32),
-      'post_attention_layernorm': jnp.ones((H,), jnp.float32),
-      'qkv_proj': mk_q((H, 3 * H)), 'o_proj': mk_q((H, H)),
-      'gate_up_proj': mk_q((H, 2 * cfg.intermediate_size)),
-      'down_proj': mk_q((cfg.intermediate_size, H)),
-    }
+    return _mk_layer(cfg, bits=8)
 
 
 qp = {'layers': [mk_layer() for _ in range(L)],

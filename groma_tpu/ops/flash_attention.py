@@ -63,7 +63,7 @@ def mha_reference(q, k, v, kv_mask=None, causal=False, scale=None):
 
 # ------------------------------------------------- forward (single kv block)
 
-def _fwd_wholekv_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None,
+def _fwd_wholekv_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref=None,
                         *, scale, block_q, seq_kv, skv_p, need_lse):
     """Encoder-shape forward: the whole kv range lives in one block, heads
     are batched into the leading block dim.
@@ -75,35 +75,38 @@ def _fwd_wholekv_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None,
     k arrives pre-transposed as (hb, d, skv_p) so both dots contract
     MXU-naturally (lhs last dim x rhs first dim) — no in-kernel relayout.
 
-    Masking needs no iota pass: invalid/pad key columns are ZEROED
-    outside the kernel, so their scores are EXACTLY +0.0 (a dot with an
-    all-zero column) and one ``where(s == 0)`` select removes them from
-    the softmax exactly.  (A previous variant subtracted
-    ``invalid_count * exp(-m)`` from the denominator algebraically; that
-    cancels catastrophically in f32 when every valid score sits far
-    below the pad-pinned row max m>=0 — e.g. all valid scores <= -15
-    with DINOv2@448's 127 pad columns — so the exact select is used
-    instead.)  A true valid score of exactly +0.0 is also dropped from
-    the softmax; that event has measure zero for real dot products and
-    biases the row by at most one e^{-m} term.  v is zeroed at pad
-    columns too, so the numerator is exact either way."""
+    Masking is one broadcast select on the score block, no iota pass:
+    the per-batch kv validity row rides in as a (1, skv_p) block and
+    invalid/pad columns are pushed to NEG_INF BEFORE the row max, which
+    keeps the softmax exact for every input regime.  (Two cheaper
+    variants both proved wrong: subtracting invalid_count*exp(-m) from
+    the denominator cancels catastrophically in f32 once every valid
+    score sits ~15 below the pad-pinned max; keying the select off
+    s == 0.0 misfires on legitimate zero scores — DINOv2's zero-init
+    CLS token yields exactly-zero q/k rows at init.)"""
     q = q_ref[0]                                     # (hb, bq, d)
     kt = k_ref[0]                                    # (hb, d, skv_p)
     s = jax.lax.dot_general(
         q, kt, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale  # (hb, bq, skv_p)
+    kvm = mask_ref[0] != 0                           # (1, skv_p)
+    s = jnp.where(kvm[None], s, NEG_INF)
 
-    m = jnp.max(s, axis=-1, keepdims=True)           # >= 0 when pad exists
-    p = jnp.where(s == 0.0, 0.0, jnp.exp(s - m))     # pads contribute 0
+    m = jnp.max(s, axis=-1, keepdims=True)
+    # pads: exp(NEG_INF - m) == 0 exactly (m == NEG_INF only when the
+    # whole row is masked, where p=1 everywhere but v is zeroed -> o=0)
+    p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     safe_l = jnp.where(l > 1e-20, l, 1.0)
     v = v_ref[0]
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    o_ref[0] = (o / safe_l).astype(o_ref.dtype)
+    row_dead = m <= NEG_INF / 2                      # (hb, bq, 1)
+    o_ref[0] = jnp.where(row_dead, 0.0, o / safe_l).astype(o_ref.dtype)
     if need_lse:
-        lse = jnp.where(l > 1e-20, m + jnp.log(safe_l), NEG_INF)
+        lse = jnp.where(row_dead | (l <= 1e-20), NEG_INF,
+                        m + jnp.log(safe_l))
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref[0].shape)
 
 
@@ -119,12 +122,13 @@ def _fwd_wholekv(q, k, v, kv_mask, scale, block_q, interpret,
     sq_p = pl.cdiv(sq, block_q) * block_q
     skv_p = pl.cdiv(skv, 128) * 128
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
-    # zero invalid key/value slots so their scores are exactly 0 (the
-    # kernel's algebraic-masking contract); tail padding is zero already
-    mz = kv_mask[:, None, :, None].astype(k.dtype)
-    ktp = jnp.pad((k * mz).transpose(0, 1, 3, 2),
+    # masking happens in-kernel on the score block; tail pad columns are
+    # marked invalid through the padded mask row (zeros)
+    ktp = jnp.pad(k.transpose(0, 1, 3, 2),
                   ((0, 0), (0, 0), (0, 0), (0, skv_p - skv)))
-    vp = jnp.pad(v * mz, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    maskp = jnp.pad(kv_mask.astype(jnp.int32),
+                    ((0, 0), (0, skv_p - skv)))[:, None, :]  # (b,1,skv_p)
 
     # heads per block: amortize grid-step overhead, cap the fp32 score
     # block (hb * block_q * skv_p * 4B) at ~4 MB of VMEM
@@ -155,11 +159,13 @@ def _fwd_wholekv(q, k, v, kv_mask, scale, block_q, interpret,
                          lambda ib, ih, iq: (ib, ih, 0, 0)),
             pl.BlockSpec((1, hb, skv_p, d),
                          lambda ib, ih, iq: (ib, ih, 0, 0)),
+            pl.BlockSpec((1, 1, skv_p),
+                         lambda ib, ih, iq: (ib, 0, 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(qp, ktp, vp)
+    )(qp, ktp, vp, maskp)
 
     out = res[0][:, :, :sq]
     lse = res[1][:, :, :sq, 0] if need_lse else None

@@ -111,3 +111,18 @@ def test_flash_wholekv_degenerate_negative_scores(rng):
     want = mha_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                atol=2e-4, rtol=2e-3)
+
+
+def test_flash_wholekv_exact_zero_scores(rng):
+    """Legitimate exactly-zero scores (DINOv2's zero-init CLS token gives
+    all-zero q/k rows at init) must behave like any other score — a
+    where(s==0)-style pad detector misfires here (round-3 regression)."""
+    b, h, s, d = 1, 2, 17, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    q = q.at[:, :, 0].set(0.0)   # CLS-like zero query row
+    k = k.at[:, :, 0].set(0.0)   # and zero key column
+    out = flash_attention(q, k, v)
+    want = mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
