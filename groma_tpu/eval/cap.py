@@ -1,9 +1,10 @@
-"""Region-caption scoring: CIDEr-D + BLEU in pure python.
+"""Region-caption scoring: CIDEr-D + BLEU + METEOR-lite + ROUGE-L in
+pure python.
 
 (reference: groma/eval/eval_cap.py merges per-rank shards and scores with
-pycocoevalcap — a Java/C dependency unavailable here; CIDEr-D and BLEU are
-re-implemented from their definitions.  METEOR/SPICE need external
-resources and are out of scope; the reference's headline region-caption
+pycocoevalcap — a Java/C dependency unavailable here; the metrics are
+re-implemented from their definitions.  SPICE needs a dependency parser
+and is out of scope (PARITY.md); the reference's headline region-caption
 metric is CIDEr.)
 """
 
@@ -156,14 +157,55 @@ def meteor(candidates: Dict[str, str],
     return total / max(len(candidates), 1)
 
 
+def _lcs_len(a: List[str], b: List[str]) -> int:
+    """Longest-common-subsequence length (classic DP, O(|a|·|b|))."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b):
+            cur.append(prev[j] + 1 if x == y
+                       else max(cur[j], prev[j + 1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(candidates: Dict[str, str],
+            references: Dict[str, List[str]],
+            beta: float = 1.2) -> float:
+    """ROUGE-L exactly as pycocoevalcap's Rouge scorer
+    (reference metric surface: groma/eval/eval_cap.py:32-37): per image,
+    LCS precision and recall are each MAXed over the references
+    (independently — possibly from different refs), combined with the
+    beta=1.2 F-measure, then averaged over images."""
+    total = 0.0
+    for i, cand_s in candidates.items():
+        cand = _tokenize(cand_s)
+        prec, rec = [0.0], [0.0]
+        for ref_s in references[i]:
+            ref = _tokenize(ref_s)
+            lcs = _lcs_len(ref, cand)
+            if cand:
+                prec.append(lcs / len(cand))
+            if ref:
+                rec.append(lcs / len(ref))
+        pm, rm = max(prec), max(rec)
+        if pm > 0 and rm > 0:
+            total += ((1 + beta ** 2) * pm * rm) / (rm + beta ** 2 * pm)
+    return total / max(len(candidates), 1)
+
+
 def score_captions(candidates: Dict[str, str],
                    references: Dict[str, List[str]]) -> dict:
     """The eval_cap.py-equivalent summary
-    (reference: groma/eval/eval_cap.py:61)."""
+    (reference: groma/eval/eval_cap.py:61; SPICE needs a dependency
+    parser and stays documented out of scope, PARITY.md)."""
     b = bleu(candidates, references)
     return {
         'CIDEr': cider_d(candidates, references),
         'BLEU-1': b[0], 'BLEU-4': b[3],
         'METEOR': meteor(candidates, references),
+        'ROUGE_L': rouge_l(candidates, references),
         'num': len(candidates),
     }

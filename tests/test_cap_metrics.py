@@ -5,7 +5,7 @@ import math
 
 import pytest
 
-from groma_tpu.eval.cap import bleu, cider_d, meteor, score_captions
+from groma_tpu.eval.cap import bleu, cider_d, meteor, score_captions, rouge_l
 
 
 CANDS = {'a': 'a cat sits on the mat', 'b': 'dog runs in the park'}
@@ -59,10 +59,44 @@ def test_cider_orders_quality():
 
 def test_score_captions_has_all_metrics():
     out = score_captions(CANDS, REFS)
-    assert set(out) >= {'CIDEr', 'BLEU-1', 'BLEU-4', 'METEOR', 'num'}
+    assert set(out) >= {'CIDEr', 'BLEU-1', 'BLEU-4', 'METEOR', 'ROUGE_L',
+                        'num'}
     assert out['num'] == 2
     assert 0.0 <= out['METEOR'] <= 1.0
 
 
 def test_meteor_empty_candidate():
     assert meteor({'x': ''}, {'x': ['a b']}) == 0.0
+
+
+def test_rouge_l_golden_hand_computed():
+    # cand "the cat sat on the mat" vs two refs; LCS against ref2
+    # ("the cat is on the mat") is 5 ("the cat on the mat"), against
+    # ref1 ("a cat sat on a mat") is 4 -> prec = rec = 5/6 -> F = 5/6
+    score = rouge_l({'x': 'the cat sat on the mat'},
+                    {'x': ['a cat sat on a mat',
+                           'the cat is on the mat']})
+    assert abs(score - 5 / 6) < 1e-9
+
+
+def test_rouge_l_beta_weighted_f():
+    # prec=1 (2/2), rec=2/7; beta=1.2 F = 2.44*p*r/(r + 1.44*p)
+    score = rouge_l({'x': 'red box'},
+                    {'x': ['the big red box on the left']})
+    want = (2.44 * 1.0 * (2 / 7)) / ((2 / 7) + 1.44 * 1.0)
+    assert abs(score - want) < 1e-9
+
+
+def test_rouge_l_max_prec_and_rec_from_different_refs():
+    # pycocoevalcap quirk: prec and rec are maxed INDEPENDENTLY over refs
+    cand = {'x': 'a b c d'}
+    refs = {'x': ['a b',          # lcs 2: prec 2/4, rec 2/2=1.0
+                  'a b c d e f g h']}  # lcs 4: prec 4/4=1.0, rec 4/8
+    score = rouge_l(cand, refs)
+    pm, rm = 1.0, 1.0   # max prec from ref2, max rec from ref1
+    want = (2.44 * pm * rm) / (rm + 1.44 * pm)
+    assert abs(score - want) < 1e-9
+
+
+def test_rouge_l_empty_candidate_zero():
+    assert rouge_l({'x': ''}, {'x': ['a b']}) == 0.0
