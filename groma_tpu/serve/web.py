@@ -2,7 +2,15 @@
 unavailable here, so a dependency-free stdlib server ships an HTML/JS chat
 page with image upload that routes through the controller to a worker,
 mirroring the reference's gradio_web_server -> controller -> worker flow
-(reference call stack SURVEY §3.5)."""
+(reference call stack SURVEY §3.5).
+
+Like the reference UI, grounded answers are rendered visually: the
+worker's final frame carries the ``<rK>``-referenced boxes (normalized
+cxcywh), which the page draws color-coded on a canvas over the uploaded
+image (reference: gradio_web_server returns images with boxes drawn
+server-side; drawing client-side keeps the worker payload JSON-only).
+Multi-turn state is kept client-side and replayed through the request's
+``history`` field."""
 
 from __future__ import annotations
 
@@ -17,30 +25,79 @@ import numpy as np
 
 PAGE = """<!doctype html>
 <html><head><title>Groma-TPU</title><style>
-body{font-family:sans-serif;max-width:780px;margin:2em auto}
-#log{border:1px solid #ccc;padding:1em;min-height:12em;white-space:pre-wrap}
-textarea{width:100%%}</style></head><body>
+body{font-family:sans-serif;max-width:820px;margin:2em auto}
+#log{border:1px solid #ccc;padding:1em;min-height:10em;white-space:pre-wrap}
+textarea{width:100%}
+canvas{border:1px solid #888;max-width:100%}
+.r{font-weight:bold}
+</style></head><body>
 <h2>Groma-TPU grounded chat</h2>
-<input type="file" id="img" accept="image/*"><br><br>
+<input type="file" id="img" accept="image/*" onchange="loadImg()">
+<button onclick="reset()">New chat</button><br><br>
+<canvas id="cv" width="448" height="448" style="display:none"></canvas><br>
 <textarea id="q" rows="2" placeholder="Ask about the image..."></textarea>
-<button onclick="send()">Send</button>
+<button id="sendbtn" onclick="send()">Send</button>
 <div id="log"></div>
 <script>
+const COLORS=['#e6194b','#3cb44b','#4363d8','#f58231','#911eb4',
+              '#46f0f0','#f032e6','#bcf60c','#fabebe','#008080'];
+let history=[];   // [[user, assistant], ...] replayed to the worker
+let imgEl=null;
+function reset(){history=[];document.getElementById('log').textContent='';
+  if(imgEl)drawBase();}
+function loadImg(){
+  const f=document.getElementById('img').files[0]; if(!f)return;
+  history=[];
+  imgEl=new Image();
+  imgEl.onload=()=>{drawBase();};
+  imgEl.src=URL.createObjectURL(f);
+}
+function drawBase(){
+  const cv=document.getElementById('cv');cv.style.display='block';
+  cv.getContext('2d').drawImage(imgEl,0,0,cv.width,cv.height);
+}
+function drawBoxes(boxes){
+  // boxes are normalized cxcywh (the model's pred_boxes convention)
+  drawBase();
+  const cv=document.getElementById('cv'),ctx=cv.getContext('2d');
+  boxes.forEach((b,i)=>{
+    const [cx,cy,w,h]=b;
+    const x=(cx-w/2)*cv.width, y=(cy-h/2)*cv.height;
+    ctx.strokeStyle=COLORS[i%COLORS.length];ctx.lineWidth=3;
+    ctx.strokeRect(x,y,w*cv.width,h*cv.height);
+    ctx.fillStyle=COLORS[i%COLORS.length];
+    ctx.font='16px sans-serif';
+    ctx.fillText(String(i),x+3,y+16);
+  });
+}
+function colorize(text,n){
+  // color the k-th region-token mention to match the k-th drawn box
+  let k=0;
+  return text.replace(/&/g,'&amp;').replace(/</g,'&lt;')
+    .replace(/&lt;r(\\d+)&gt;/g,(m)=>{
+      const c=COLORS[(k<n?k:0)%COLORS.length];
+      return '<span class="r" style="color:'+c+'">['+(k++)+']</span>';});
+}
 async function send(){
-  const f = document.getElementById('img').files[0];
+  const f=document.getElementById('img').files[0];
   if(!f){alert('pick an image');return;}
-  const b64 = await new Promise(r=>{const fr=new FileReader();
+  const b64=await new Promise(r=>{const fr=new FileReader();
     fr.onload=()=>r(fr.result.split(',')[1]);fr.readAsDataURL(f);});
-  const q = document.getElementById('q').value;
-  const log = document.getElementById('log');
-  log.textContent += 'USER: '+q+'\\n';
-  const resp = await fetch('/chat', {method:'POST',
-    headers:{'Content-Type':'application/json'},
-    body: JSON.stringify({image_b64:b64, prompt:q})});
-  const data = await resp.json();
-  log.textContent += 'ASSISTANT: '+data.text+'\\n';
-  if(data.boxes && data.boxes.length)
-    log.textContent += '  boxes: '+JSON.stringify(data.boxes)+'\\n';
+  const q=document.getElementById('q').value;
+  const log=document.getElementById('log');
+  log.innerHTML+='USER: '+colorize(q,0)+'\\n';
+  document.getElementById('sendbtn').disabled=true;
+  try{
+    const resp=await fetch('/chat',{method:'POST',
+      headers:{'Content-Type':'application/json'},
+      body:JSON.stringify({image_b64:b64,prompt:q,history:history})});
+    const data=await resp.json();
+    const boxes=data.boxes||[];
+    log.innerHTML+='ASSISTANT: '+colorize(data.text,boxes.length)+'\\n';
+    if(boxes.length)drawBoxes(boxes);
+    history.push([q,data.text]);
+    document.getElementById('q').value='';
+  }finally{document.getElementById('sendbtn').disabled=false;}
 }
 </script></body></html>"""
 
@@ -86,7 +143,8 @@ def make_handler(controller_addr: str, model_name: str):
                     base64.b64decode(data['image_b64']))).convert('RGB'))
                 img448, _ = resize(img, (448, 448))
                 payload = {'image': normalize(img448).tolist(),
-                           'prompt': data['prompt']}
+                           'prompt': data['prompt'],
+                           'history': data.get('history', [])}
                 raw = post_json(addr + '/worker_generate_stream', payload)
                 chunks = [c for c in raw.decode().split('\0') if c.strip()]
                 out = json.loads(chunks[-1])

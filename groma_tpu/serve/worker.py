@@ -145,6 +145,12 @@ class ModelWorker:
                 image = np.asarray(request['image'], np.float32)
                 conv = conv_templates.get(request.get('conv_temp', 'llava'))
                 messages = intro_conversation(conv)
+                # multi-turn: replay prior [user, assistant] pairs so the
+                # model sees the full conversation (reference: the gradio
+                # server threads conversation state through its requests)
+                for turn in request.get('history', []):
+                    messages.append((conv.roles[0], turn[0]))
+                    messages.append((conv.roles[1], turn[1]))
                 messages.append((conv.roles[0], request['prompt']))
                 messages.append((conv.roles[1], None))
                 ids = self.tokenizer.encode(conv.get_prompt(messages))

@@ -109,6 +109,19 @@ def test_worker_quant_engine_stream():
                   x.strip().startswith('{')]
         assert frames and frames[-1]['error_code'] == 0
         assert 'boxes' in frames[-1]
+        # multi-turn: replay the first exchange as history (web.py flow)
+        req2 = urllib.request.Request(
+            f'http://127.0.0.1:{port}/worker_generate_stream',
+            data=json.dumps({'prompt': 'and what else?', 'image': image,
+                             'history': [['what is here?',
+                                          frames[-1]['text']]],
+                             'max_new_tokens': 4}).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req2, timeout=600) as r:
+            body2 = r.read().decode(errors='replace')
+        frames2 = [json.loads(x) for x in body2.split('\0') if
+                   x.strip().startswith('{')]
+        assert frames2 and frames2[-1]['error_code'] == 0
     finally:
         httpd.shutdown()
         if w.engine is not None:
