@@ -392,3 +392,56 @@ def import_region_encoder(sd: Dict[str, np.ndarray], num_levels: int = 3,
 def load_config_json(path: str) -> dict:
     with open(os.path.join(path, 'config.json')) as f:
         return json.load(f)
+
+
+# --------------------------------------------- bitsandbytes 4-bit import
+
+def is_bnb_nf4(sd: Dict[str, np.ndarray], name: str) -> bool:
+    """True when ``name`` was serialized by a bitsandbytes Linear4bit
+    (reference quantization switch: groma/eval/run_groma.py:43-61 with
+    BitsAndBytesConfig nf4; bnb 0.43 serializes the packed codes as
+    ``<name>`` plus sidecar ``<name>.absmax`` / ``<name>.quant_map`` /
+    ``<name>.quant_state.bitsandbytes__nf4`` entries)."""
+    return f'{name}.quant_state.bitsandbytes__nf4' in sd \
+        or (f'{name}.absmax' in sd and f'{name}.quant_map' in sd)
+
+
+def import_bnb_nf4_weight(sd: Dict[str, np.ndarray], name: str,
+                          shape=None, dtype=np.float32) -> np.ndarray:
+    """Dequantize a bnb-nf4 serialized weight back to a dense array.
+
+    Handles the non-double-quant layout: ``<name>`` is the packed uint8
+    code tensor (two nibbles/byte, first element in the HIGH nibble —
+    bnb pack order), ``<name>.absmax`` the fp32 per-block scales,
+    ``<name>.quant_map`` the 16-entry NF4 table.  ``shape`` defaults to
+    the value stored in the quant_state blob when parseable, else must
+    be passed (torch Linear convention: (out_features, in_features)).
+    Double-quantized (nested) absmax is rejected explicitly.
+    """
+    from groma_tpu.ops.quant4 import NF4_TABLE
+
+    if f'{name}.nested_absmax' in sd:
+        raise NotImplementedError(
+            'double-quantized (bnb_4bit_use_double_quant) checkpoints are '
+            'not supported; re-export with double quant off')
+    codes = np.asarray(sd[name]).reshape(-1).astype(np.uint8)
+    absmax = np.asarray(sd[f'{name}.absmax']).astype(np.float32).reshape(-1)
+    qmap = np.asarray(sd.get(f'{name}.quant_map', NF4_TABLE))
+    np.testing.assert_allclose(np.sort(qmap.reshape(-1)),
+                               np.sort(NF4_TABLE), atol=1e-6,
+                               err_msg='quant_map is not the NF4 table')
+    if shape is None:
+        qs = sd.get(f'{name}.quant_state.bitsandbytes__nf4')
+        if qs is not None:
+            meta = json.loads(bytes(np.asarray(qs).astype(np.uint8)))
+            shape = tuple(meta['shape'])
+        else:
+            raise ValueError(f'{name}: no shape in state dict; pass shape=')
+    numel = int(np.prod(shape))
+    block = numel // absmax.shape[0]
+    hi = (codes >> 4) & 0xF
+    lo = codes & 0xF
+    idx = np.stack([hi, lo], axis=1).reshape(-1)[:numel]
+    vals = np.asarray(qmap).reshape(-1)[idx].reshape(-1, block)
+    vals = vals * absmax[:, None]
+    return vals.reshape(shape).astype(dtype)

@@ -80,7 +80,8 @@ def main():
 
     out = evaluate_rec(gen, samples(), tokenizer, spec,
                        batch_size=args.batch_size)
-    print(json.dumps(out, indent=2))
+    # one line so scripts/run_rec_eval.sh can parse it from the log
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

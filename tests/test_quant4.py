@@ -3,6 +3,7 @@ codec vs bitsandbytes semantics (reference: groma/eval/run_groma.py:43-61
 BitsAndBytesConfig nf4)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from groma_tpu.ops.quant4 import (NF4_TABLE, dequantize_weight_int4,
@@ -96,3 +97,45 @@ def test_quantize_llama_params_bits4(rng):
     want, _ = model.apply({'params': params}, ids)
     # int4 is lossy; just require same scale and finite agreement trend
     assert np.isfinite(np.asarray(h4)).all()
+
+
+def test_bnb_nf4_state_dict_import(rng):
+    """Import smoke against a synthetic bitsandbytes state_dict fixture:
+    a Linear4bit-serialized weight (packed codes + absmax + quant_map +
+    json quant_state blob, bnb 0.43 layout) round-trips through
+    import_bnb_nf4_weight to the codec's own dequantization and to the
+    original weight within blockwise-nf4 error."""
+    import json as _json
+    from groma_tpu.checkpoint.hf_import import (import_bnb_nf4_weight,
+                                                is_bnb_nf4)
+    from groma_tpu.ops.quant4 import NF4_TABLE
+
+    w = rng.standard_normal((32, 64)).astype(np.float32)
+    qd = nf4_quantize(jnp.asarray(w), block=64)
+    meta = _json.dumps({'shape': [32, 64], 'blocksize': 64,
+                        'dtype': 'float32',
+                        'quant_type': 'nf4'}).encode()
+    sd = {
+        # bnb serializes the packed codes as an (numel/2, 1) uint8 tensor
+        'llm.layers.0.q_proj.weight': np.asarray(qd['codes']).reshape(-1, 1),
+        'llm.layers.0.q_proj.weight.absmax': np.asarray(qd['absmax']),
+        'llm.layers.0.q_proj.weight.quant_map': NF4_TABLE.copy(),
+        'llm.layers.0.q_proj.weight.quant_state.bitsandbytes__nf4':
+            np.frombuffer(meta, np.uint8),
+    }
+    name = 'llm.layers.0.q_proj.weight'
+    assert is_bnb_nf4(sd, name)
+    assert not is_bnb_nf4(sd, 'llm.layers.0.k_proj.weight')
+    got = import_bnb_nf4_weight(sd, name)          # shape from quant_state
+    want = np.asarray(nf4_dequantize(qd))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # nf4 block-64 error bound vs the original
+    err = np.abs(got - w).max()
+    assert err < np.abs(w).max() * 0.2
+    # explicit-shape path agrees
+    got2 = import_bnb_nf4_weight(sd, name, shape=(32, 64))
+    np.testing.assert_allclose(got2, want, atol=1e-6)
+    # double-quant layout is rejected, not silently mis-read
+    sd['llm.layers.0.q_proj.weight.nested_absmax'] = np.zeros(2, np.float32)
+    with pytest.raises(NotImplementedError):
+        import_bnb_nf4_weight(sd, name)
