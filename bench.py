@@ -78,12 +78,21 @@ def main():
                      if d['metric'] == 'vision_proposer_images_per_sec'),
                     None)
     # 2. training (vl MFU depth series + det step)
-    _run_sub('bench_train.py', budget=420)
+    _run_sub('bench_train.py', budget=330)
     # 3. quantized decode (int8/int4, B=1 and B=8 serving aggregate)
-    _run_sub('bench_decode_quant.py', budget=420)
+    _run_sub('bench_decode_quant.py', budget=330)
     # 4. end-to-end REC inference
-    _run_sub('bench_e2e.py', budget=300)
-    # 5. re-print the headline LAST (the driver parses the final line);
+    _run_sub('bench_e2e.py', budget=200)
+    # 5. if the cold first attempt lost the headline (the vision compile
+    #    can exceed its budget on an empty compile cache), retry with
+    #    whatever budget remains — the first attempt's partial compiles
+    #    are persisted, so the retry is much faster
+    if headline is None and _remaining() > 90:
+        retry = _run_sub('bench_vision.py', budget=_remaining() - 30)
+        headline = next(
+            (d for d in retry
+             if d['metric'] == 'vision_proposer_images_per_sec'), None)
+    # 6. re-print the headline LAST (the driver parses the final line);
     #    fall back to an explicit failure record so the artifact is
     #    never mislabeled
     if headline is None:

