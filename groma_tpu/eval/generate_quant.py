@@ -47,7 +47,8 @@ class QuantGenerator:
     streaming and footprint on top of the weight-only quantization."""
 
     def __init__(self, model: GromaModel, params, qp, max_len: int = 2048,
-                 kv_bits: int = 16, use_flash: bool = False):
+                 kv_bits: int = 16, use_flash: bool = False,
+                 w8a8_prefill: bool = False):
         self.model = model
         cfg = model.cfg
         self.cfg = cfg
@@ -84,7 +85,8 @@ class QuantGenerator:
                 cache = make_kv_cache(cfg.llm, images.shape[0], max_len)
             hidden, cache = quant_llama_forward(qp, cfg.llm, emb, valid,
                                                 pos, cache,
-                                                use_flash=use_flash)
+                                                use_flash=use_flash,
+                                                w8a8=w8a8_prefill)
             last = jnp.argmax(pos, axis=-1)
             last_h = jnp.take_along_axis(hidden, last[:, None, None],
                                          axis=1)

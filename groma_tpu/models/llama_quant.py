@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from groma_tpu.config import LlamaConfig
 from groma_tpu.models.llama import apply_rope, rms_norm, rope_tables
 from groma_tpu.ops.flash_attention import flash_attention
-from groma_tpu.ops.quant import int8_matmul, quantize_weight
+from groma_tpu.ops.quant import int8_matmul, quantize_weight, w8a8_matmul
 from groma_tpu.ops.quant4 import INT4_BLOCK, int4_matmul, quantize_weight_int4
 
 QUANT_KERNELS = ('q_proj', 'k_proj', 'v_proj', 'o_proj',
@@ -85,13 +85,21 @@ def quantize_llama_params(params: dict, cfg: LlamaConfig,
     return out
 
 
-def _qmm(x, qw):
+def _qmm(x, qw, a8: bool = False):
     """(…, K) @ quantized (K, N); uint8 storage = packed int4,
-    int8 = per-column int8.  2D-flatten for the kernel."""
+    int8 = per-column int8.  2D-flatten for the kernel.
+
+    ``a8=True`` (int8 weights, >=256 rows only): quantize the
+    activations per-row and run the dot int8 x int8 -> int32 on the
+    MXU's double-rate int8 path (ops/quant.w8a8_matmul) — the prefill
+    fast path.  int4 weights keep the dequant route (per-K-block scales
+    cannot be folded out of an integer dot)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if qw['q'].dtype == jnp.uint8:
         y = int4_matmul(x2, qw['q'], qw['scale'], block=INT4_BLOCK)
+    elif a8 and x2.shape[0] >= 256:
+        y = w8a8_matmul(x2, qw['q'], qw['scale'])
     else:
         y = int8_matmul(x2, qw['q'], qw['scale'])
     return y.reshape(*lead, -1)
@@ -161,7 +169,8 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
                         attn_mask, position_ids,
                         cache: Optional[dict] = None,
                         use_flash: bool = False,
-                        chunked: bool = False):
+                        chunked: bool = False,
+                        w8a8: bool = False):
     """Mirror of models/llama.py LlamaModel.__call__ on quantized weights.
 
     Multi-token calls with a cache are PREFILL: the cache must be fresh
@@ -209,6 +218,9 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
     # takes the cached-decode route below (full-buffer mask, readback).
     append = chunked and s > 1 and cache is not None
     prefill_mode = s > 1 and not append
+    # W8A8 applies only to multi-token (compute-bound) calls; decode
+    # stays weight-only (it is HBM-bound — activation quant buys nothing)
+    a8 = w8a8 and s > 1
     if prefill_mode or cache is None:
         skv = s
         qi = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 0)
@@ -235,7 +247,7 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
 
     for i, lp in enumerate(qp['layers']):
         h = rms_norm(x, lp['input_layernorm'], cfg.rms_norm_eps)
-        qkv = _qmm(h, lp['qkv_proj'])
+        qkv = _qmm(h, lp['qkv_proj'], a8)
         q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
         q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
@@ -317,13 +329,13 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
                 attn = jnp.einsum('bhqk,bhkd->bhqd', p.astype(v.dtype), v,
                                   preferred_element_type=jnp.float32)
         attn = attn.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, -1)
-        x = x + _qmm(attn, lp['o_proj']).astype(dtype)
+        x = x + _qmm(attn, lp['o_proj'], a8).astype(dtype)
 
         h = rms_norm(x, lp['post_attention_layernorm'], cfg.rms_norm_eps)
-        gu = _qmm(h, lp['gate_up_proj'])
+        gu = _qmm(h, lp['gate_up_proj'], a8)
         gate, up = jnp.split(gu, 2, axis=-1)
         x = x + _qmm((jax.nn.silu(gate) * up).astype(dtype),
-                     lp['down_proj']).astype(dtype)
+                     lp['down_proj'], a8).astype(dtype)
 
     x = rms_norm(x, qp['norm'], cfg.rms_norm_eps)
 

@@ -128,6 +128,38 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
     return out[:m - m_pad if m_pad else m, :n]
 
 
+def quantize_act(x: jnp.ndarray):
+    """(M, K) float -> (int8 (M, K), scale (M,) f32), symmetric per-row
+    (per-token) absmax — the activation half of W8A8."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    s = jnp.where(a > 0, a / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[:, None]),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def w8a8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray):
+    """x (M, K) float @ int8 weights (K, N): dynamic per-row activation
+    quantization + an int8 x int8 -> int32 dot.
+
+    The v5e MXU runs int8 x int8 at ~1.6x the bf16 rate through plain
+    XLA (measured 234 TOPS vs 146 TFLOP/s bf16 on this chip), so this is
+    the compute-bound PREFILL counterpart of the weight-streaming-bound
+    decode kernel above — no Pallas needed, XLA tiles the int8 dot onto
+    the MXU directly and fuses the row/column rescale.
+
+    Numerics: per-token symmetric activation int8 on top of the stored
+    per-column weight int8 (LLM.int8 vector-wise quantization without
+    the outlier decomposition; reference's bnb path is weight-only at
+    inference).  Opt-in at the model level — activation outliers in
+    trained 7B checkpoints can degrade accuracy, unvalidated until real
+    weights land (see llama_quant.quant_llama_forward w8a8 flag)."""
+    xq, xs = quantize_act(x)
+    acc = jax.lax.dot(xq, w_q, preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * xs[:, None] * scale[None, :]
+    return out.astype(x.dtype)
+
+
 def quantize_dense_tree(params, path_pred):
     """Quantize every Dense kernel whose path matches ``path_pred`` into a
     parallel pytree {path: {'q': int8, 'scale': f32}} plus the stripped

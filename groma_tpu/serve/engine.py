@@ -66,13 +66,19 @@ class BatchEngine:
                  chunk: int = 8, max_new_tokens: int = 256,
                  qp: Optional[dict] = None, kv_bits: int = 16,
                  prefill_chunk_tokens: Optional[int] = None,
-                 admit_batch: int = 1):
+                 admit_batch: int = 1, w8a8_prefill: bool = False):
         """``prefill_chunk_tokens`` (quantized path only) enables CHUNKED
         PREFILL: a new request's prompt is prefilled in fixed-size token
         chunks with a decode burst for the active slots between chunks,
         so in-flight streams never stall behind a long prefill (the
         vLLM-style scheduling knob; one-shot prefill stalls every active
-        stream for the whole prompt)."""
+        stream for the whole prompt).
+
+        ``w8a8_prefill`` (int8 weights only) quantizes prefill
+        activations per-token and runs the prompt matmuls int8 x int8 on
+        the MXU's double-rate integer path (ops/quant.w8a8_matmul) —
+        ~1.6x prefill FLOP rate.  Opt-in: accuracy with trained weights
+        is unvalidated (activation outliers), decode is unaffected."""
         self.model = model
         self.params = params
         self.qp = qp
@@ -130,7 +136,8 @@ class BatchEngine:
                 cache = self._fresh_cache(images.shape[0])
                 cache['index'] = jnp.zeros((), jnp.int32)  # shared scalar
                 hidden, cache = quant_llama_forward(
-                    qp, cfg.llm, emb, valid, pos, cache)
+                    qp, cfg.llm, emb, valid, pos, cache,
+                    w8a8=w8a8_prefill)
                 last = jnp.argmax(pos, axis=-1)
                 last_h = jnp.take_along_axis(
                     hidden, last[:, None, None], axis=1)
@@ -153,7 +160,7 @@ class BatchEngine:
             def chunk_fwd(qp, emb_c, valid_c, pos_c, cache):
                 hidden, cache = quant_llama_forward(
                     qp, cfg.llm, emb_c, valid_c, pos_c, cache,
-                    chunked=True)
+                    chunked=True, w8a8=w8a8_prefill)
                 return hidden, cache
 
             def last_logits(qp, hidden, local_idx):

@@ -151,3 +151,32 @@ def test_chunked_prefill_matches_oneshot(rng):
 
 def test_chunked_prefill_matches_oneshot_int8_kv(rng):
     _chunk_vs_oneshot(rng, kv8=True, chunk_sizes=(4, 5))
+
+
+def test_w8a8_prefill_close_to_weight_only(rng):
+    """W8A8 prefill (int8 activations on the double-rate MXU path) must
+    track the weight-only int8 prefill closely on a tiny model; decode
+    from its cache must stay consistent (ops/quant.w8a8_matmul)."""
+    model, params, qp, _ = _setup(rng)
+    B, S = 2, 160                          # B*S >= 256 engages the a8 path
+    ids = jnp.asarray(rng.integers(0, 128, (B, S)))
+    mask = jnp.ones_like(ids, dtype=bool)
+    pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    emb = qp['embed_tokens'][ids].astype(jnp.float32)
+    h_wo, _ = quant_llama_forward(qp, CFG, emb, mask, pos)
+    h_a8, _ = quant_llama_forward(qp, CFG, emb, mask, pos, w8a8=True)
+    w = np.asarray(quant_llama_logits(qp, h_wo), np.float32)
+    g = np.asarray(quant_llama_logits(qp, h_a8), np.float32)
+    cos = (w * g).sum() / (np.linalg.norm(w) * np.linalg.norm(g))
+    assert cos > 0.995, cos
+    agree = (w.argmax(-1) == g.argmax(-1)).mean()
+    assert agree >= 0.8, agree
+    # decode consistency: one greedy step from the w8a8-prefilled cache
+    cache = make_kv_cache(CFG, B, S + 8, dtype=jnp.float32)
+    _, cache = quant_llama_forward(qp, CFG, emb, mask, pos, cache,
+                                   w8a8=True)
+    tok = jnp.asarray(g[:, -1].argmax(-1))[:, None].astype(jnp.int32)
+    emb1 = qp['embed_tokens'][tok].astype(jnp.float32)
+    h1, _ = quant_llama_forward(qp, CFG, emb1, jnp.ones((B, 1), bool),
+                                jnp.full((B, 1), S, jnp.int32), cache)
+    assert np.isfinite(np.asarray(h1)).all()
