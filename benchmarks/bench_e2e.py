@@ -23,7 +23,7 @@ import _cache  # noqa: E402
 _cache.enable()
 
 
-def main(batch=1):
+def main(batch=1, w8a8=False):
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +106,8 @@ def main(batch=1):
         pos = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
         cache = make_kv_cache(cfg.llm, batch, max_len)
         hidden, cache = quant_llama_forward(qp, cfg.llm, emb, valid, pos,
-                                            cache, use_flash=on_tpu)
+                                            cache, use_flash=on_tpu,
+                                            w8a8=w8a8)
         last = jnp.argmax(pos, axis=-1)
         logits = logits_fn(
             qp, jnp.take_along_axis(hidden, last[:, None, None], 1))[:, 0]
@@ -140,8 +141,9 @@ def main(batch=1):
     for i in range(1, n + 1):
         v = float(run(params, qp, image, ids, slot, valid0, jnp.int32(i)))
     dt = (time.time() - t0) / n
+    suffix = '_w8a8' if w8a8 else ''
     print(json.dumps({
-        'metric': 'groma7b_e2e_rec_images_per_sec',
+        'metric': f'groma7b_e2e_rec{suffix}_images_per_sec',
         'value': round(batch / dt, 3),
         'unit': 'images/sec',
         'vs_baseline': round(batch / dt, 3),
@@ -153,4 +155,5 @@ def main(batch=1):
 if __name__ == '__main__':
     import jax as _jax
     _default = 8 if _jax.devices()[0].platform == 'tpu' else 1
-    main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else _default)
+    main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else _default,
+         w8a8='--w8a8' in sys.argv)

@@ -25,6 +25,7 @@ asserted by tests/test_engine.py including mid-decode admissions.
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
 from typing import Optional
@@ -239,7 +240,10 @@ class BatchEngine:
         self._sessions: list = [None] * max_slots
         self._emitted = np.zeros((max_slots,), np.int64)
 
-        self._queue: queue.Queue = queue.Queue()
+        # priority admission: entries are (-priority, seq, payload) so
+        # higher ``priority`` values admit first, FIFO within a class
+        self._queue: queue.PriorityQueue = queue.PriorityQueue()
+        self._seq = itertools.count()
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -259,16 +263,22 @@ class BatchEngine:
     # ------------------------------------------------------------- API
 
     def submit(self, image, input_ids, region_slot, base_valid,
-               max_new_tokens: Optional[int] = None) -> Session:
+               max_new_tokens: Optional[int] = None,
+               priority: int = 0) -> Session:
         """Enqueue one request (unbatched arrays); returns its Session.
 
         ``max_new_tokens`` caps THIS request's generation (bounded by the
         engine-wide ``max_new_tokens``); without a per-request cap a
-        short consumer would leave its slot decoding to the engine cap."""
+        short consumer would leave its slot decoding to the engine cap.
+
+        ``priority``: higher admits first when slots are contended
+        (FIFO within equal priority).  Already-seated requests are never
+        preempted — priority orders the waiting queue only."""
         sess = Session()
         sess.max_new = min(max_new_tokens or self.max_new_tokens,
                            self.max_new_tokens)
-        self._queue.put((sess, image, input_ids, region_slot, base_valid))
+        self._queue.put((-priority, next(self._seq),
+                         (sess, image, input_ids, region_slot, base_valid)))
         return sess
 
     def close(self):
@@ -289,20 +299,32 @@ class BatchEngine:
             group = []
             while len(group) < min(self.admit_batch, len(free)):
                 try:
-                    group.append(self._queue.get_nowait())
+                    group.append(self._queue.get_nowait()[2])
                 except queue.Empty:
                     break
             if not group:
                 return
-            if len(group) == self.admit_batch and self.admit_batch > 1 \
+            if len(group) >= 2 and self.admit_batch > 1 \
                     and not self.prefill_chunk_tokens:
+                # any group of >= 2 uses the ONE b=K batched program:
+                # partial groups pad by replicating the last request
+                # (dummy rows are computed but never seated) — one padded
+                # b=K launch beats len(group) serial b=1 launches for
+                # every group size >= 2, and the static shape means no
+                # recompile.  True variable-length packing buys little
+                # here: the vision tower is inherently per-image and the
+                # LLM prefill is already batched dense.
                 reqs = group
+                k = self.admit_batch
+
+                def stack(i):
+                    rows = [np.asarray(r[i]) for r in reqs]
+                    rows += [rows[-1]] * (k - len(rows))
+                    return jnp.asarray(np.stack(rows))
+
                 logits, one, vis, next_pos = self._prefill(
                     self.params, self.qp,
-                    jnp.asarray(np.stack([r[1] for r in reqs])),
-                    jnp.asarray(np.stack([r[2] for r in reqs])),
-                    jnp.asarray(np.stack([r[3] for r in reqs])),
-                    jnp.asarray(np.stack([r[4] for r in reqs])))
+                    stack(1), stack(2), stack(3), stack(4))
                 for row, req in enumerate(reqs):
                     self._seat(free[row], req[0], logits[row],
                                one, row, vis, int(next_pos[row, 0]))

@@ -207,3 +207,74 @@ def test_batched_admission_matches_single(rng):
     want = run()
     got = run(admit_batch=2)
     assert got == want, (got, want)
+
+
+def test_partial_group_uses_padded_batched_prefill(rng):
+    """A partial admission group (2 waiting, admit_batch=3) must run the
+    ONE padded b=3 program (dummy rows replicated, never seated) and
+    still produce exactly the per-request streams."""
+    from groma_tpu.eval.generate_quant import quantize_groma_llm
+
+    model = GromaModel(CFG)
+    tok, reqs = _requests(rng, 2)
+    params = model.init(
+        jax.random.PRNGKey(0), images=jnp.asarray(reqs[0][0])[None],
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+    qp = quantize_groma_llm(params, CFG)
+
+    def run(**kw):
+        eng = BatchEngine(model, params, max_slots=3,
+                          max_len=CFG.max_seq_len + MAX_NEW + 8,
+                          eos_id=tok.sp.eos, chunk=2,
+                          max_new_tokens=MAX_NEW, qp=qp, **kw)
+        try:
+            sessions = [eng.submit(*r) for r in reqs]
+            return [[t for t in s.token_stream()] for s in sessions]
+        finally:
+            eng.close()
+
+    want = run()
+    got = run(admit_batch=3)          # only 2 requests ever queued
+    assert got == want, (got, want)
+
+
+def test_priority_orders_admission(rng):
+    """With one slot occupied, a later high-priority submission must be
+    admitted before an earlier low-priority one."""
+    model = GromaModel(CFG)
+    tok, reqs = _requests(rng, 3)
+    params = model.init(
+        jax.random.PRNGKey(0), images=jnp.asarray(reqs[0][0])[None],
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+
+    eng = BatchEngine(model, params, max_slots=1,
+                      max_len=CFG.max_seq_len + MAX_NEW + 8,
+                      eos_id=tok.sp.eos, chunk=2, max_new_tokens=MAX_NEW)
+    first_token_at = {}
+
+    def consume(name, sess):
+        for _ in sess.token_stream():
+            first_token_at.setdefault(name, time.monotonic())
+
+    try:
+        s0 = eng.submit(*reqs[0])
+        # enqueued while slot 0 is busy (prefill compile takes seconds on
+        # first use): low priority first, high priority second
+        s_low = eng.submit(*reqs[1], priority=0)
+        s_high = eng.submit(*reqs[2], priority=5)
+        import threading
+        threads = [threading.Thread(target=consume, args=a)
+                   for a in (('first', s0), ('low', s_low),
+                             ('high', s_high))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+    finally:
+        eng.close()
+
+    assert first_token_at['high'] < first_token_at['low'], first_token_at
