@@ -23,7 +23,8 @@ import _cache  # noqa: E402
 _cache.enable()
 
 
-def main(batch=1, w8a8=False):
+def main(batch=1, w8a8=False, vision_int8=False):
+    import dataclasses
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +50,8 @@ def main(batch=1, w8a8=False):
         from __graft_entry__ import _small_cfg
         cfg = _small_cfg()
         decode_steps = 2
+    if vision_int8:
+        cfg = dataclasses.replace(cfg, vision_int8=True)
 
     model = GromaModel(cfg)
     # REC prompts are ~520 tokens post-surgery; a 768-slot stream (not the
@@ -141,7 +144,8 @@ def main(batch=1, w8a8=False):
     for i in range(1, n + 1):
         v = float(run(params, qp, image, ids, slot, valid0, jnp.int32(i)))
     dt = (time.time() - t0) / n
-    suffix = '_w8a8' if w8a8 else ''
+    suffix = ('_w8a8' if w8a8 else '') + \
+        ('_int8vision' if vision_int8 else '')
     print(json.dumps({
         'metric': f'groma7b_e2e_rec{suffix}_images_per_sec',
         'value': round(batch / dt, 3),
@@ -155,5 +159,7 @@ def main(batch=1, w8a8=False):
 if __name__ == '__main__':
     import jax as _jax
     _default = 8 if _jax.devices()[0].platform == 'tpu' else 1
-    main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else _default,
-         w8a8='--w8a8' in sys.argv)
+    _pos = [a for a in sys.argv[1:] if not a.startswith('-')]
+    main(batch=int(_pos[0]) if _pos else _default,
+         w8a8='--w8a8' in sys.argv,
+         vision_int8='--int8vision' in sys.argv)

@@ -20,7 +20,9 @@ import json
 import numpy as np
 
 
-def main():
+def main(vision_int8=False):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from groma_tpu.config import (DDETRConfig, GromaConfig, LlamaConfig,
@@ -42,6 +44,9 @@ def main():
         cfg = _small_cfg()
         batch = 2
         iters = 2
+    if vision_int8:
+        # opt-in int8 x int8 fuse/pconv convs (config.vision_int8)
+        cfg = dataclasses.replace(cfg, vision_int8=True)
 
     model = GromaModel(cfg)
     img = cfg.perceiver.image_size
@@ -63,8 +68,10 @@ def main():
     sec_per_iter = time_fn_ingraph(vision_fn, (params, images),
                                    iters=iters, perturb_arg=1)
     ips = batch / sec_per_iter
+    name = ('vision_proposer_int8_images_per_sec' if vision_int8
+            else 'vision_proposer_images_per_sec')
     print(json.dumps({
-        'metric': 'vision_proposer_images_per_sec',
+        'metric': name,
         'value': round(ips, 3),
         'unit': 'images/sec',
         'vs_baseline': round(ips, 3),
@@ -77,4 +84,4 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    main(vision_int8='--int8' in sys.argv)

@@ -171,6 +171,13 @@ class GromaConfig(_ConfigBase):
     region_roi_out: int = 14
     region_num_fuse: int = 5
     region_gn_groups: int = 64
+    # inference opt-in: run the region-encoder fuse/pconv convs int8 x
+    # int8 on the MXU integer path (~1.5x the bf16 conv rate; exact
+    # integer arithmetic, in-graph per-call quantization — checkpoints
+    # untouched).  The vision-side analogue of the reference's
+    # bitsandbytes LLM switch (reference: groma/eval/run_groma.py:43-61);
+    # accuracy with trained weights unvalidated until real ckpts land.
+    vision_int8: bool = False
 
     @property
     def vocab_size(self) -> int:

@@ -68,7 +68,8 @@ class GromaModel(nn.Module):
             embed_dims=vit_d, out_dims=llm_d,
             image_size=c.perceiver.image_size, roi_out=c.region_roi_out,
             num_fuse=c.region_num_fuse, gn_groups=c.region_gn_groups,
-            dtype=c.perceiver.vit.dtype, name='region_encoder')
+            dtype=c.perceiver.vit.dtype, quant=c.vision_int8,
+            name='region_encoder')
         self.bridge_fc1 = nn.Dense(llm_d, name='bridge_fc1')
         self.bridge_fc2 = nn.Dense(llm_d, name='bridge_fc2')
         self.llm = LlamaModel(c.llm, name='llm')

@@ -349,6 +349,72 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
     return x, new_cache
 
 
+def quant_llama_decode_paged(qp: dict, cfg: LlamaConfig, inputs_embeds,
+                             position_ids, pools: dict, table, lengths):
+    """Single-token decode against a shared int8 KV PAGE POOL
+    (ops/paged_attention.py; serve/engine.py paged mode).
+
+    A lean decode-only mirror of quant_llama_forward's cached branch:
+    * ``position_ids`` (B, 1) — this token's write position per slot
+      (= its current kv length); the page id comes from ``table``.
+    * ``lengths`` (B,) — valid kv length AFTER the write (pos + 1 for
+      live rows; 0 freezes a row: its write lands in its page but the
+      kernel masks everything, exp(-1e30) = 0).
+    * MHA only (num_heads == num_kv_heads, the 7B serving config) — the
+      paged kernel has no GQA head-repeat path.
+    Returns (hidden (B, 1, D), updated pools).
+    """
+    from groma_tpu.ops.paged_attention import (PAGE,
+                                               paged_int8_decode_attention)
+    dtype = jnp.dtype(cfg.dtype)
+    hd = cfg.hidden_size // cfg.num_heads
+    nh, nkv = cfg.num_heads, cfg.num_kv_heads
+    assert nh == nkv, 'paged decode requires MHA'
+    cos, sin = rope_tables(position_ids, hd, cfg.rope_theta)
+    x = inputs_embeds.astype(dtype)
+    b, s, _ = x.shape
+    assert s == 1
+    pos = position_ids[:, 0]
+    bidx = jnp.arange(b)
+    pids = table[bidx, pos // PAGE]                    # (B,)
+    offs = pos % PAGE
+
+    pk, pv = list(pools['k']), list(pools['v'])
+    pks, pvs = list(pools['k_scale']), list(pools['v_scale'])
+
+    for i, lp in enumerate(qp['layers']):
+        h = rms_norm(x, lp['input_layernorm'], cfg.rms_norm_eps)
+        qkv = _qmm(h, lp['qkv_proj'])
+        q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
+        q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q.astype(dtype), cos, sin)
+        k = apply_rope(k.astype(dtype), cos, sin)
+        v = v.astype(dtype)
+
+        kq8, ksc = _quantize_tokens(k)
+        vq8, vsc = _quantize_tokens(v)
+        pk[i] = pk[i].at[pids, :, offs, :].set(kq8[:, :, 0, :])
+        pv[i] = pv[i].at[pids, :, offs, :].set(vq8[:, :, 0, :])
+        pks[i] = pks[i].at[pids, :, offs].set(ksc[:, :, 0])
+        pvs[i] = pvs[i].at[pids, :, offs].set(vsc[:, :, 0])
+
+        attn = paged_int8_decode_attention(
+            q, pk[i], pks[i], pv[i], pvs[i], table, lengths)
+        attn = attn.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, -1)
+        x = x + _qmm(attn, lp['o_proj']).astype(dtype)
+
+        h = rms_norm(x, lp['post_attention_layernorm'], cfg.rms_norm_eps)
+        gu = _qmm(h, lp['gate_up_proj'])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        x = x + _qmm((jax.nn.silu(gate) * up).astype(dtype),
+                     lp['down_proj']).astype(dtype)
+
+    x = rms_norm(x, qp['norm'], cfg.rms_norm_eps)
+    return x, {'k': pk, 'v': pv, 'k_scale': pks, 'v_scale': pvs}
+
+
 def quant_llama_logits(qp: dict, hidden):
     head = qp['lm_head']
     if isinstance(head, dict):

@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 
+from groma_tpu.ops.quant import w8a8_conv
 from groma_tpu.ops.roi_align import roi_align_batched
 from groma_tpu.parallel.mesh import constrain
 
@@ -95,10 +96,17 @@ class _SlicedConv(nn.Module):
     sums — mathematically identical to conv(concat(pieces)) but without
     materializing the concatenation.  The parameter path/shape matches
     nn.Conv ('kernel', (3, 3, cin, features)), so checkpoints and the HF
-    importer are unaffected."""
+    importer are unaffected.
+
+    ``quant=True`` runs each slice through ops/quant.w8a8_conv (int8 x
+    int8 on the MXU integer path, ~1.5x the bf16 conv rate;
+    benchmarks/exp_int8_conv.py) — per-slice activation scales,
+    per-output-channel kernel scales, exact dequant before the sum.
+    Inference opt-in (GromaConfig.vision_int8)."""
     features: int
     cin: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, pieces):
@@ -108,11 +116,15 @@ class _SlicedConv(nn.Module):
         off = 0
         for p in pieces:
             c = p.shape[-1]
-            k = kernel[:, :, off:off + c, :].astype(self.dtype)
-            y = jax.lax.conv_general_dilated(
-                p.astype(self.dtype), k, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                preferred_element_type=jnp.float32)
+            k = kernel[:, :, off:off + c, :]
+            if self.quant:
+                y = w8a8_conv(p, k, (1, 1), ((1, 1), (1, 1)))
+            else:
+                y = jax.lax.conv_general_dilated(
+                    p.astype(self.dtype), k.astype(self.dtype), (1, 1),
+                    ((1, 1), (1, 1)),
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    preferred_element_type=jnp.float32)
             acc = y if acc is None else acc + y
             off += c
         assert off == self.cin, (off, self.cin)
@@ -126,16 +138,15 @@ class ConvModuleGN(nn.Module):
     features: int
     groups: int = 64
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        if isinstance(x, (tuple, list)):
-            cin = sum(p.shape[-1] for p in x)
-            x = _SlicedConv(self.features, cin, dtype=self.dtype,
-                            name='conv')(x)
-        else:
-            x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
-                        use_bias=False, dtype=self.dtype, name='conv')(x)
+        if not isinstance(x, (tuple, list)):
+            x = (x,)
+        cin = sum(p.shape[-1] for p in x)
+        x = _SlicedConv(self.features, cin, dtype=self.dtype,
+                        quant=self.quant, name='conv')(x)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
                          dtype=self.dtype, name='gn')(x)
         return nn.relu(x)
@@ -148,6 +159,7 @@ class MLVLFuse(nn.Module):
     num_fuse: int = 5
     gn_groups: int = 64
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
@@ -173,6 +185,7 @@ class MLVLFuse(nn.Module):
         feats = withcoord
 
         fuse_convs = [ConvModuleGN(d, self.gn_groups, dtype=self.dtype,
+                                   quant=self.quant,
                                    name=f'fuse_conv_{i}')
                       for i in range(self.num_fuse)]
         n = self.num_levels
@@ -214,6 +227,8 @@ class RegionEncoder(nn.Module):
     dtype: str = 'float32'    # compute dtype for fuse/proj convs (bf16 at
                               # full scale, matching the reference's model
                               # dtype; RoIAlign stays an fp32 island)
+    quant: bool = False       # int8 x int8 fuse/pconv convs on the MXU
+                              # integer path (GromaConfig.vision_int8)
 
     @nn.compact
     def __call__(self, mlvl_feats: Sequence[jnp.ndarray], boxes: jnp.ndarray):
@@ -239,7 +254,7 @@ class RegionEncoder(nn.Module):
 
         fused = MLVLFuse(d, nl, num_fuse=self.num_fuse,
                          gn_groups=self.gn_groups, dtype=cdtype,
-                         name='mlvl_fuse')(feats2d)
+                         quant=self.quant, name='mlvl_fuse')(feats2d)
 
         # position embedding of the raw normalized boxes
         # (reference: roi_align.py:254-261,278)
@@ -283,11 +298,14 @@ class RegionEncoder(nn.Module):
         biases = [self.param(f'pconv_bias_{lvl}', nn.initializers.zeros,
                              (d,)) for lvl in range(nl)]
         cat_in = jnp.concatenate(pooled_all, axis=-1)
-        cat_k = jnp.concatenate(kernels, axis=2).astype(cdtype)
-        acc = jax.lax.conv_general_dilated(
-            cat_in, cat_k, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=jnp.float32)
+        cat_k = jnp.concatenate(kernels, axis=2)
+        if self.quant:
+            acc = w8a8_conv(cat_in, cat_k, (1, 1), ((1, 1), (1, 1)))
+        else:
+            acc = jax.lax.conv_general_dilated(
+                cat_in, cat_k.astype(cdtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.float32)
         acc = (acc + sum(biases)).astype(cdtype)
         acc = nn.relu(acc)                                 # (B*R, 14, 14, d)
         flat = acc.reshape(b * r, -1).astype(cdtype)

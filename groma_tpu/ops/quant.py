@@ -94,6 +94,18 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
         # shape not kernel-friendly: XLA fallback
         return (x.astype(jnp.float32)
                 @ (w_q.astype(jnp.float32) * scale)).astype(x.dtype)
+    if m >= 256 and not interpret:
+        # compute-bound regime (prefill): the weight-resident Pallas
+        # kernel is tuned for tiny-M decode and runs BELOW the plain
+        # bf16 matmul here (132 vs 150 TF/s at M=6144/K=4096/N=12288,
+        # benchmarks/exp_prefill_matmul.py) — materialize the bf16
+        # dequant (one extra weight-sized HBM round-trip, ~3% of the
+        # matmul time) and let XLA run the MXU-peak bf16 dot.  Numerics
+        # identical to the kernel (same dequant then bf16 x bf16 dot).
+        w = (w_q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+        return jax.lax.dot(
+            x.astype(jnp.bfloat16), w,
+            preferred_element_type=jnp.float32).astype(x.dtype)
     m_pad = 0
     if m < 8:
         # single-token decode: pad rows up to the fp32 sublane tile —
@@ -158,6 +170,36 @@ def w8a8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray):
     acc = jax.lax.dot(xq, w_q, preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * xs[:, None] * scale[None, :]
     return out.astype(x.dtype)
+
+
+def w8a8_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+              strides=(1, 1), padding='SAME'):
+    """NHWC conv with BOTH operands quantized to int8 in-graph, run as an
+    int8 x int8 -> int32 convolution on the MXU's double-rate integer
+    path (measured 258 TOPS vs 169 TFLOP/s bf16 at fuse-conv shapes,
+    benchmarks/exp_int8_conv.py; integer arithmetic is exact).
+
+    Quantization: per-tensor symmetric absmax on the activation,
+    per-output-channel symmetric absmax on the (kh, kw, ci, co) kernel —
+    both folded out of the integer accumulation exactly.  The kernel is
+    quantized from its float storage each call (one elementwise pass,
+    trivial next to the conv); weights on disk / in checkpoints are
+    untouched.  Opt-in for inference: accuracy with trained weights is
+    unvalidated until real checkpoints land (see docs/VISION_FLOOR.md).
+    """
+    kf = kernel.astype(jnp.float32)
+    ka = jnp.max(jnp.abs(kf), axis=(0, 1, 2))
+    ks = jnp.where(ka > 0, ka / 127.0, 1.0)
+    kq = jnp.clip(jnp.round(kf / ks), -127, 127).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    xa = jnp.max(jnp.abs(xf))
+    xs = jnp.where(xa > 0, xa / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, kq, strides, padding,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (xs * ks)
 
 
 def quantize_dense_tree(params, path_pred):

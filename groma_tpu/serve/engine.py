@@ -67,7 +67,9 @@ class BatchEngine:
                  chunk: int = 8, max_new_tokens: int = 256,
                  qp: Optional[dict] = None, kv_bits: int = 16,
                  prefill_chunk_tokens: Optional[int] = None,
-                 admit_batch: int = 1, w8a8_prefill: bool = False):
+                 admit_batch: int = 1, w8a8_prefill: bool = False,
+                 paged_kv: bool = False,
+                 kv_pool_tokens: Optional[int] = None):
         """``prefill_chunk_tokens`` (quantized path only) enables CHUNKED
         PREFILL: a new request's prompt is prefilled in fixed-size token
         chunks with a decode burst for the active slots between chunks,
@@ -79,7 +81,18 @@ class BatchEngine:
         activations per-token and runs the prompt matmuls int8 x int8 on
         the MXU's double-rate integer path (ops/quant.w8a8_matmul) —
         ~1.6x prefill FLOP rate.  Opt-in: accuracy with trained weights
-        is unvalidated (activation outliers), decode is unaffected."""
+        is unvalidated (activation outliers), decode is unaffected.
+
+        ``paged_kv`` (int8 KV only: requires qp + kv_bits=8, MHA)
+        replaces the contiguous per-slot cache with a SHARED PAGE POOL
+        of ``kv_pool_tokens`` tokens in 128-token pages
+        (ops/paged_attention.py): each slot consumes HBM proportional to
+        its actual stream length instead of reserving ``max_len``, so
+        many more concurrent slots fit 16 GB (vLLM-style paged
+        attention, TPU-native block-indirect kernel).  ``max_len``
+        becomes the PER-REQUEST cap.  A request whose decode outruns the
+        pool is truncated (``session.truncated``); admission backs off
+        while free pages < the prompt's need."""
         self.model = model
         self.params = params
         self.qp = qp

@@ -154,3 +154,28 @@ def test_align_corners_resize_matches_torch(rng):
                          size=(9, 11), mode='bilinear',
                          align_corners=True).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_region_encoder_int8_close_to_float(rng):
+    """quant=True (int8 x int8 fuse/pconv convs, ops/quant.w8a8_conv)
+    must track the float path closely and reuse the IDENTICAL param tree
+    (the switch quantizes in-graph; checkpoints are untouched)."""
+    sd = {k: v.numpy() for k, v in _mk_weights(rng).items()}
+    b, r = 2, 5
+    feats_tokens = [rng.standard_normal((b, BASE * BASE, D)).astype(np.float32)
+                    for _ in range(NL)]
+    boxes = rng.uniform(0.1, 0.9, (b, r, 4)).astype(np.float32)
+    params = import_region_encoder(sd, NL, NF, embed_dims=D, roi_out=ROI)
+    kw = dict(embed_dims=D, out_dims=OUT, num_levels=NL, image_size=IMG,
+              roi_out=ROI, num_fuse=NF, gn_groups=GN_GROUPS)
+    feats = [jnp.asarray(f) for f in feats_tokens]
+    want = np.asarray(RegionEncoder(**kw).apply(
+        {'params': params}, feats, jnp.asarray(boxes)))
+    got = np.asarray(RegionEncoder(quant=True, **kw).apply(
+        {'params': params}, feats, jnp.asarray(boxes)))
+    cos = (want * got).sum() / (
+        np.linalg.norm(want) * np.linalg.norm(got) + 1e-30)
+    assert cos > 0.995, cos
+    # per-element agreement within combined quantization noise
+    denom = np.maximum(np.abs(want).max(), 1e-6)
+    assert np.abs(got - want).max() / denom < 0.15
