@@ -81,8 +81,10 @@ def _kernel(table_ref, len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
         m_new = jnp.maximum(m_old, jnp.max(s))
         corr = jnp.exp(m_old - m_new)
         pv = jnp.exp(s - m_new)                           # (1, PAGE) f32
-        l_ref[h, 0] = l_ref[h, 0] * corr + jnp.sum(pv)
-        m_ref[h, 0] = m_new
+        # scalar stores to VMEM are rejected by Mosaic: keep the running
+        # stats lane-replicated and store full (128,) rows
+        l_ref[h, :] = jnp.full((128,), l_ref[h, 0] * corr + jnp.sum(pv))
+        m_ref[h, :] = jnp.full((128,), m_new)
 
         ps = pv * vs_ref[0, h][None, :]
         r = jnp.max(ps)
@@ -96,8 +98,9 @@ def _kernel(table_ref, len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
 
     @pl.when(p == np_ - 1)
     def _done():
-        l = jnp.maximum(l_ref[:, 0], 1e-30)               # (H,)
-        o_ref[0, :, 0, :] = acc_ref[...] / l[:, None]
+        for h in range(heads):
+            l = jnp.maximum(l_ref[h, 0], 1e-30)
+            o_ref[0, h] = (acc_ref[h, :] / l)[None, :]
 
 
 def paged_attention_reference(q, kpool, ks, vpool, vs, table, lengths):
@@ -162,8 +165,8 @@ def _call_kernel(table, lengths, q, kpool, ks, vpool, vs,
                                lambda i, p, tbl, ln: (i, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((h, d), jnp.float32),       # acc
-            pltpu.VMEM((h, 1), jnp.float32),       # running max
-            pltpu.VMEM((h, 1), jnp.float32),       # running denom
+            pltpu.VMEM((h, 128), jnp.float32),     # running max (lane-rep)
+            pltpu.VMEM((h, 128), jnp.float32),     # running denom
         ],
     )
     out = pl.pallas_call(
@@ -191,15 +194,27 @@ def make_kv_page_pool(cfg, num_pages: int):
 
 
 def insert_prefill_pages(pools: dict, one: dict, row: int,
-                         page_ids: jnp.ndarray):
+                         page_ids: jnp.ndarray, valid=None):
     """Scatter row ``row`` of a contiguous int8 prefill cache (the
     engine's b>=1 prefill output: (B, H, S, D) leaves, 128 | S) into the
     page pools at ``page_ids`` ((S/PAGE,) int32; entries beyond the
-    prompt's pages must be 0 = the trash page)."""
+    prompt's pages must be 0 = the trash page).
+
+    ``valid`` ((S,) bool, optional) COMPACTS the stream first: the token
+    surgery leaves interior pad gaps in the prefill cache (masked there
+    via cache['mask']), but the paged kernel masks by LENGTH only — a
+    stable partition moves the valid positions to the front, which is
+    exact because rope positions are already compacted cumsum indices
+    (cache slot i then holds rope position i), and it saves pages."""
     out = dict(pools)
+    perm = None
+    if valid is not None:
+        perm = jnp.argsort(jnp.logical_not(valid), stable=True)
 
     def put(pool, leaf):
         x = jax.lax.dynamic_slice_in_dim(leaf, row, 1, axis=0)[0]
+        if perm is not None:
+            x = jnp.take(x, perm, axis=1)
         h, s = x.shape[0], x.shape[1]
         # (H, S, ...) -> (S/PAGE, H, PAGE, ...)
         x = x.reshape(h, s // PAGE, PAGE, *x.shape[2:]).swapaxes(0, 1)

@@ -46,6 +46,8 @@ class Session:
         self.vis = None            # proposal pool (boxes + mask), set at
         self.tokens: list = []     # prefill time; grows as chunks arrive
         self.done = False
+        self.truncated = False     # paged mode: stream ended early
+                                   # because the page pool ran dry
 
     def token_stream(self):
         """Yields token ids as they are produced; ends at EOS/length."""
@@ -109,6 +111,25 @@ class BatchEngine:
         if prefill_chunk_tokens is not None and qp is None:
             raise ValueError('chunked prefill requires the quantized path')
         self.prefill_chunk_tokens = prefill_chunk_tokens
+        self.paged = paged_kv
+        if paged_kv:
+            from groma_tpu.ops.paged_attention import PAGE
+            if qp is None or kv_bits != 8:
+                raise ValueError('paged_kv requires qp and kv_bits=8')
+            if prefill_chunk_tokens:
+                raise ValueError('paged_kv excludes chunked prefill')
+            if cfg.llm.num_heads != cfg.llm.num_kv_heads:
+                raise ValueError('paged_kv requires MHA')
+            self._page = PAGE
+            # per-request page capacity; prompts prefill into a
+            # contiguous max_len buffer, so max_len must stay 128-aligned
+            self._np_max = self.max_len // PAGE
+            pool_tokens = kv_pool_tokens or max_slots * self.max_len
+            # page 0 is the reserved trash page (never allocated)
+            self._num_pages = pool_tokens // PAGE + 1
+            self._free_pages = list(range(self._num_pages - 1, 0, -1))
+            self._slot_pages = [[] for _ in range(max_slots)]
+            self._table_np = np.zeros((max_slots, self._np_max), np.int32)
         # admit_batch > 1 compiles a SECOND prefill program at b=K and
         # admits up to K queued requests per call — b=1 vision+prefill is
         # the serving bottleneck for short-answer workloads (REC), and a
@@ -243,8 +264,47 @@ class BatchEngine:
         self._insert = jax.jit(insert, donate_argnums=(0,))
         self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(2,))
 
-        cache = self._fresh_cache(max_slots)
-        cache['index'] = jnp.zeros((max_slots,), jnp.int32)  # per-row
+        if paged_kv:
+            from groma_tpu.models.llama_quant import quant_llama_decode_paged
+            from groma_tpu.ops.paged_attention import (insert_prefill_pages,
+                                                       make_kv_page_pool)
+
+            def decode_chunk_paged(qp, pools, tok0, pos0, active, done0,
+                                   table):
+                def step(carry, _):
+                    toks, pos, pools, done = carry
+                    live = active & ~done
+                    emb = self._q_embed(qp, toks[:, None])
+                    lengths = jnp.where(live, pos + 1, 0)
+                    hidden, pools = quant_llama_decode_paged(
+                        qp, cfg.llm, emb, pos[:, None], pools, table,
+                        lengths)
+                    logits = self._q_logits(qp, hidden)[:, -1]
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    nxt = jnp.where(live, nxt, self.eos_id)
+                    done = done | (nxt == self.eos_id) | ~active
+                    pos = pos + (active & ~done).astype(jnp.int32)
+                    return (nxt, pos, pools, done), nxt
+
+                (tokN, posN, pools, doneN), out = jax.lax.scan(
+                    step, (tok0, pos0, pools, done0), None,
+                    length=self.chunk)
+                return pools, jnp.swapaxes(out, 0, 1), tokN, posN, doneN
+
+            def insert_paged(pools, one, row, page_ids):
+                valid = jax.lax.dynamic_slice_in_dim(
+                    one['mask'], row, 1, axis=0)[0]
+                return insert_prefill_pages(pools, one, row, page_ids,
+                                            valid=valid)
+
+            self._decode_paged = jax.jit(decode_chunk_paged,
+                                         donate_argnums=(1,))
+            self._insert_paged = jax.jit(insert_paged, donate_argnums=(0,))
+            self._pools = make_kv_page_pool(cfg.llm, self._num_pages)
+            cache = None
+        else:
+            cache = self._fresh_cache(max_slots)
+            cache['index'] = jnp.zeros((max_slots,), jnp.int32)  # per-row
         self._cache = cache
         self._tok = jnp.full((max_slots,), eos_id, jnp.int32)
         self._pos = jnp.zeros((max_slots,), jnp.int32)
@@ -305,6 +365,12 @@ class BatchEngine:
         while not self._queue.empty():
             free = [i for i in range(self.max_slots) if not self._active[i]]
             if not free:
+                return
+            if self.paged and len(self._free_pages) < self._np_max:
+                # back-pressure: a new prompt could need up to np_max
+                # pages; decoding slots also top up from the same pool —
+                # admitting now could starve them mid-stream.  Wait for
+                # finishing streams to return pages.
                 return
             # pull up to admit_batch waiting requests (bounded by free
             # slots); a full group runs the batched b=K prefill program,
@@ -372,8 +438,31 @@ class BatchEngine:
         sess.vis = jax.tree_util.tree_map(
             np.asarray, {'selected_boxes': vis['selected_boxes'][vr],
                          'selected_mask': vis['selected_mask'][vr]})
-        self._cache = self._insert(self._cache, one, row, slot,
-                                   one['index'])
+        if self.paged:
+            # allocate exactly the pages the COMPACTED stream occupies
+            # (next_pos_val valid tokens; insert_paged moves them to the
+            # front); unused page-id slots hit the trash page 0
+            need = -(-next_pos_val // self._page)
+            pages = [self._alloc_page() for _ in range(need)]
+            if any(p is None for p in pages):
+                # pool dry — should not happen (admission gates on
+                # worst-case free pages); be safe anyway
+                self._free_list([p for p in pages if p is not None])
+                sess.truncated = True
+                sess.done = True
+                sess._q.put(None)
+                return
+            self._slot_pages[slot] = pages
+            row_tbl = self._table_np[slot]
+            row_tbl[:need] = pages
+            row_tbl[need:] = pages[-1]       # repeat-last: DMA skipped
+            ids = np.zeros((self._np_max,), np.int32)
+            ids[:need] = pages
+            self._pools = self._insert_paged(
+                self._pools, one, row, jnp.asarray(ids))
+        else:
+            self._cache = self._insert(self._cache, one, row, slot,
+                                       one['index'])
         self._tok = self._tok.at[slot].set(tok0)
         self._pos = self._pos.at[slot].set(next_pos_val)
         self._done = self._done.at[slot].set(tok0 == self.eos_id)
@@ -425,21 +514,75 @@ class BatchEngine:
         cache['index'] = jnp.int32(last_idx + 1)
         return logits, cache, vis, next_pos
 
-    def _finish(self, slot):
+    def _alloc_page(self):
+        return self._free_pages.pop() if self._free_pages else None
+
+    def _free_list(self, pages):
+        self._free_pages.extend(pages)
+
+    def _finish(self, slot, truncated: bool = False):
         sess = self._sessions[slot]
         if sess is not None:
+            sess.truncated = sess.truncated or truncated
             sess.done = True
             sess._q.put(None)
         self._sessions[slot] = None
         self._active[slot] = False
+        if self.paged:
+            # return the slot's pages and point its table at the trash
+            # page: a frozen slot keeps writing its (masked) decode kv
+            # inside the batched program, and its old pages may be
+            # reassigned to another request immediately
+            self._free_list(self._slot_pages[slot])
+            self._slot_pages[slot] = []
+            self._table_np[slot, :] = 0
+
+    def _topup_pages(self):
+        """Pre-allocate pages so every live slot can write ``chunk`` more
+        tokens; a slot the pool cannot cover is truncated BEFORE the
+        burst (its table would otherwise index past its pages)."""
+        pos_np = np.asarray(self._pos)
+        done_np = np.asarray(self._done)
+        for slot in range(self.max_slots):
+            if not self._active[slot] or done_np[slot]:
+                continue
+            end = int(pos_np[slot]) + self.chunk + 1
+            if end > self._np_max * self._page:
+                self._finish(slot, truncated=True)
+                continue
+            pages = self._slot_pages[slot]
+            need = -(-end // self._page)
+            while len(pages) < need:
+                pid = self._alloc_page()
+                if pid is None:
+                    self._finish(slot, truncated=True)
+                    break
+                pages.append(pid)
+                self._table_np[slot, len(pages) - 1] = pid
+            if self._active[slot] and pages:
+                self._table_np[slot, len(pages):] = pages[-1]
 
     def _decode_burst(self):
         """One ``chunk``-step decode pass over all active slots, emitting
         tokens to their sessions."""
+        if self.paged:
+            self._topup_pages()
+            if not self._active.any():
+                return
+            active_j = jnp.asarray(self._active)
+            self._pools, out, self._tok, self._pos, self._done = \
+                self._decode_paged(self.qp, self._pools, self._tok,
+                                   self._pos, active_j, self._done,
+                                   jnp.asarray(self._table_np))
+            self._emit(out)
+            return
         active_j = jnp.asarray(self._active)
         self._cache, out, self._tok, self._pos, self._done = \
             self._decode_chunk(self.params, self.qp, self._cache,
                                self._tok, self._pos, active_j, self._done)
+        self._emit(out)
+
+    def _emit(self, out):
         out_np = np.asarray(out)
         done_np = np.asarray(self._done)
         for slot in range(self.max_slots):

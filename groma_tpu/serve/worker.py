@@ -30,7 +30,8 @@ class ModelWorker:
                  model_name: str = 'groma', limit: int = 2,
                  controller_addr: str = '', use_engine: bool = False,
                  engine_slots: int = 4, quant_type: str = 'none',
-                 kv_bits: int = 16, prefill_chunk: int = 0):
+                 kv_bits: int = 16, prefill_chunk: int = 0,
+                 paged_kv: bool = False, kv_pool_tokens: int = 0):
         from groma_tpu.checkpoint.loader import load_groma
         from groma_tpu.data.tokenizer import load_tokenizer
         from groma_tpu.data.datasets.base import VLDataSpec
@@ -74,7 +75,9 @@ class ModelWorker:
                 eos_id=self.tokenizer.sp.eos, qp=qp,
                 max_new_tokens=engine_max_new,
                 kv_bits=kv_bits if qp is not None else 16,
-                prefill_chunk_tokens=prefill_chunk or None)
+                prefill_chunk_tokens=prefill_chunk or None,
+                paged_kv=paged_kv,
+                kv_pool_tokens=kv_pool_tokens or None)
             limit = max(limit, engine_slots)
         if use_engine:
             self.generator = None
@@ -218,8 +221,12 @@ class ModelWorker:
                 cap = vis['selected_mask'].shape[1]
                 boxes = [vis['selected_boxes'][0, k].tolist() for k in ks
                          if k < cap and vis['selected_mask'][0, k]]
-                yield {'text': self.tokenizer.decode(collected),
-                       'boxes': boxes, 'error_code': 0}
+                final = {'text': self.tokenizer.decode(collected),
+                         'boxes': boxes, 'error_code': 0}
+                if self.engine is not None and sess.truncated:
+                    # paged mode: the shared page pool ran dry mid-stream
+                    final['finish_reason'] = 'truncated'
+                yield final
             except Exception as e:  # pragma: no cover
                 yield {'text': f'server error: {e}', 'error_code': 1}
             finally:
@@ -274,6 +281,12 @@ def main():
     ap.add_argument('--prefill-chunk', type=int, default=0,
                     help='engine chunked prefill: interleave N-token '
                          'prompt chunks with decode bursts (0 = one-shot)')
+    ap.add_argument('--paged-kv', action='store_true',
+                    help='shared 128-token KV page pool (engine + '
+                         'quant_type + --kv-bits 8): per-request HBM '
+                         'proportional to stream length')
+    ap.add_argument('--kv-pool-tokens', type=int, default=0,
+                    help='page-pool size in tokens (0 = slots x max_len)')
     ap.add_argument('--host', default='0.0.0.0')
     ap.add_argument('--port', type=int, default=21002)
     ap.add_argument('--controller-address', default='')
@@ -288,7 +301,9 @@ def main():
                          controller_addr=a.controller_address,
                          use_engine=a.engine, engine_slots=a.engine_slots,
                          quant_type=a.quant_type, kv_bits=a.kv_bits,
-                         prefill_chunk=a.prefill_chunk)
+                         prefill_chunk=a.prefill_chunk,
+                         paged_kv=a.paged_kv,
+                         kv_pool_tokens=a.kv_pool_tokens)
     httpd = ThreadingHTTPServer((a.host, a.port), make_handler(worker))
     httpd.serve_forever()
 

@@ -240,6 +240,81 @@ def test_partial_group_uses_padded_batched_prefill(rng):
     assert got == want, (got, want)
 
 
+def test_paged_engine_matches_contiguous_kv8_engine(rng):
+    """paged_kv=True (shared 128-token page pool, compacted prefill
+    streams, block-indirect decode attention) must produce the same
+    greedy streams as the contiguous int8-KV engine: compaction is exact
+    because rope positions are already compacted cumsum indices, and the
+    CPU fallback gathers pages back into the contiguous int8 chain."""
+    from groma_tpu.eval.generate_quant import quantize_groma_llm
+
+    model = GromaModel(CFG)
+    tok, reqs = _requests(rng, 3)
+    params = model.init(
+        jax.random.PRNGKey(0), images=jnp.asarray(reqs[0][0])[None],
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+    qp = quantize_groma_llm(params, CFG)
+
+    def run(**kw):
+        eng = BatchEngine(model, params, max_slots=2,
+                          max_len=CFG.max_seq_len + MAX_NEW + 8,
+                          eos_id=tok.sp.eos, chunk=2,
+                          max_new_tokens=MAX_NEW, qp=qp, kv_bits=8, **kw)
+        try:
+            sessions = [eng.submit(*r) for r in reqs]
+            outs = [[t for t in s.token_stream()] for s in sessions]
+            assert not any(s.truncated for s in sessions)
+            return outs
+        finally:
+            eng.close()
+
+    want = run()
+    got = run(paged_kv=True)
+    assert got == want, (got, want)
+
+
+def test_paged_engine_recycles_pages_under_tiny_pool(rng):
+    """A pool sized for ONE worst-case request (free pages == np_max)
+    forces admission back-pressure: requests serialize through the pool,
+    finished streams return their pages, and every stream still matches
+    the roomy-pool engine exactly (nothing truncated, nothing leaked)."""
+    from groma_tpu.eval.generate_quant import quantize_groma_llm
+    from groma_tpu.ops.paged_attention import PAGE
+
+    model = GromaModel(CFG)
+    tok, reqs = _requests(rng, 4)
+    params = model.init(
+        jax.random.PRNGKey(0), images=jnp.asarray(reqs[0][0])[None],
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+    qp = quantize_groma_llm(params, CFG)
+
+    def run(pool_tokens):
+        eng = BatchEngine(model, params, max_slots=2,
+                          max_len=CFG.max_seq_len + MAX_NEW + 8,
+                          eos_id=tok.sp.eos, chunk=2,
+                          max_new_tokens=MAX_NEW, qp=qp, kv_bits=8,
+                          paged_kv=True, kv_pool_tokens=pool_tokens)
+        np_max = eng._np_max
+        try:
+            sessions = [eng.submit(*r) for r in reqs]
+            outs = [[t for t in s.token_stream()] for s in sessions]
+            assert not any(s.truncated for s in sessions)
+            # every page came back to the free list
+            assert len(eng._free_pages) == eng._num_pages - 1
+            assert all(not p for p in eng._slot_pages)
+            return outs, np_max
+        finally:
+            eng.close()
+
+    want, np_max = run(pool_tokens=8 * PAGE)    # roomy
+    got, _ = run(pool_tokens=np_max * PAGE)     # exactly one request
+    assert got == want, (got, want)
+
+
 def test_priority_orders_admission(rng):
     """With one slot occupied, a later high-priority submission must be
     admitted before an earlier low-priority one."""
