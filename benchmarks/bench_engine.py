@@ -32,14 +32,21 @@ from groma_tpu.models.groma import GromaModel
 from groma_tpu.serve.engine import BatchEngine
 
 on_tpu = jax.devices()[0].platform == 'tpu'
+LONG = '--long' in sys.argv      # long-prompt regime (chunked prefill's
+                                 # home turf: the prompt compute dwarfs
+                                 # the per-chunk weight re-stream)
 if on_tpu:
     cfg = GromaConfig(
         llm=LlamaConfig(),
         perceiver=PerceiverConfig(vit=ViTConfig(dtype='bfloat16'),
                                   ddetr=DDETRConfig(dtype='bfloat16'),
                                   image_size=448))
-    SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 8, 16, 48, 24, 192
-    seq_len = 768
+    if LONG:
+        SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 8, 8, 48, 24, 512
+        seq_len = 2048
+    else:
+        SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 8, 16, 48, 24, 192
+        seq_len = 768
 else:
     from __graft_entry__ import _small_cfg
     cfg = _small_cfg()
@@ -82,12 +89,12 @@ qp['extra_lm_head'] = jnp.asarray(
 qp = jax.jit(lambda x: x)(qp)
 
 
-def drive(prefill_chunk, admit_batch=1):
+def drive(prefill_chunk, admit_batch=1, paged=False):
     eng = BatchEngine(model, params, max_slots=SLOTS,
                       max_len=seq_len + MAXNEW + 8, eos_id=-1,
                       chunk=CHUNK, max_new_tokens=MAXNEW, qp=qp,
                       kv_bits=8, prefill_chunk_tokens=prefill_chunk,
-                      admit_batch=admit_batch)
+                      admit_batch=admit_batch, paged_kv=paged)
     try:
         # warmup: compile every program — enough simultaneous requests
         # to trigger the batched-admission prefill too
@@ -130,18 +137,33 @@ def drive(prefill_chunk, admit_batch=1):
         for a, b in zip([v[1]] + bursts, bursts):
             worst = max(worst, b - a)
     mode = f'chunked({prefill_chunk})' if prefill_chunk else (
-        f'one-shot admit_batch={admit_batch}')
+        f'one-shot admit_batch={admit_batch}' + (' paged' if paged else ''))
     tag = ('chunked' if prefill_chunk
-           else f'oneshot_ab{admit_batch}')
+           else ('paged' if paged else f'oneshot_ab{admit_batch}'))
+    if LONG:
+        tag += '_long'
     print(json.dumps({
         'metric': f'engine_aggregate_tok_per_sec_{tag}',
         'value': round(total_toks / dt, 2), 'unit': 'tok/s'}), flush=True)
+    print(json.dumps({
+        'metric': f'engine_worst_stall_ms_{tag}',
+        'value': round(worst * 1000, 1), 'unit': 'ms'}), flush=True)
     print(f'# {mode}: {NREQ} reqs x {MAXNEW} new tokens in {dt:.1f}s '
           f'({NREQ / dt * 60:.1f} req/min, {total_toks / dt:.0f} tok/s '
           f'aggregate), worst mid-stream stall {worst * 1000:.0f} ms',
           flush=True)
 
 
-drive(0)
-drive(0, admit_batch=4)
-drive(PCHUNK)
+if LONG:
+    # the chunked-prefill crossover regime: 2048-token prompts.  One-shot
+    # stalls every live stream for the FULL ~2k-token prefill; 512-token
+    # chunks re-stream the int8 weight tree 3 extra times (~8 ms each, vs
+    # ~35 ms of chunk compute) — a small throughput tax for a 4x tighter
+    # stall bound.
+    drive(0)
+    drive(PCHUNK)
+else:
+    drive(0)
+    drive(0, admit_batch=4)
+    drive(PCHUNK)
+    drive(0, paged=True)
