@@ -77,13 +77,20 @@ def main():
     headline = next((d for d in vision
                      if d['metric'] == 'vision_proposer_images_per_sec'),
                     None)
-    # 2. training (vl MFU depth series + det step)
+    # 2. end-to-end REC inference (round-3 note: a transient tunnel slow
+    #    compile blew a 200 s budget in the r03 driver run even though
+    #    the warm-cache runtime is ~50 s — keep 330 s and run it EARLY)
+    _run_sub('bench_e2e.py', budget=330)
+    # 3. training (vl MFU depth series + det step)
     _run_sub('bench_train.py', budget=330)
-    # 3. quantized decode (int8/int4, B=1 and B=8 serving aggregate)
+    # 4. quantized decode (int8/int4, B=1 and B=8 serving aggregate)
     _run_sub('bench_decode_quant.py', budget=330)
-    # 4. end-to-end REC inference
-    _run_sub('bench_e2e.py', budget=200)
-    # 5. if the cold first attempt lost the headline (the vision compile
+    # 5. opt-in fast-path extensions, only if budget remains: int8 vision
+    #    convs and the w8a8+int8vision e2e configuration
+    _run_sub('bench_vision.py', ['--int8'], budget=240, min_needed=180)
+    _run_sub('bench_e2e.py', ['--w8a8', '--int8vision'], budget=240,
+             min_needed=180)
+    # 6. if the cold first attempt lost the headline (the vision compile
     #    can exceed its budget on an empty compile cache), retry with
     #    whatever budget remains — the first attempt's partial compiles
     #    are persisted, so the retry is much faster
