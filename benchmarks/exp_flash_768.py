@@ -57,7 +57,12 @@ def main(seq=768):
             flash_attention(q, k, v, kv_mask=mask, causal=True,
                             block_q=_bq, block_k=_bk)
             .astype(jnp.float32)))
-        dt = time_fn_ingraph(fn, (q, k, v), iters=64) - DISPATCH / 64
+        try:
+            dt = time_fn_ingraph(fn, (q, k, v), iters=64) - DISPATCH / 64
+        except Exception as e:  # noqa: BLE001 — VMEM OOM etc., keep sweeping
+            print(f'flash bq={bq:4d} bk={bk:4d}   FAIL '
+                  f'({type(e).__name__})', flush=True)
+            continue
         print(f'flash bq={bq:4d} bk={bk:4d} {dt * 1e3:7.2f} ms/layer',
               flush=True)
 

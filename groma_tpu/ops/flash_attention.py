@@ -180,9 +180,18 @@ WHOLEKV_MAX_SKV = 4096
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                 acc, m_scr, l_scr, *, scale, causal, block_q, block_k,
-                num_kv_blocks, seq_q, seq_kv):
-    ik = pl.program_id(2)
-    iq = pl.program_id(1)
+                num_kv_blocks, seq_q, seq_kv, hb):
+    """Tiled online-softmax forward with `hb` heads batched per block.
+
+    One batch-head per grid step (hb=1) starves the MXU and is
+    grid-overhead-bound below ~2k tokens: at b8/h32/s768/d128 the hb=1
+    kernel ran 5.98 ms/layer while plain XLA dense attention ran 2.11
+    (benchmarks/exp_flash_768.py).  Batching heads into the block —
+    the same trick as the whole-kv encoder kernel above — cuts grid
+    steps by hb and feeds the MXU hb-batched (block_q x d) @ (d x
+    block_k) dots."""
+    ik = pl.program_id(3)
+    iq = pl.program_id(2)
 
     @pl.when(ik == 0)
     def _init():
@@ -212,50 +221,74 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         & jnp.logical_not(crosses_diag)
 
     def _update(s, p_valid=None):
-        """Online-softmax update with scores s (p zeroed via p_valid)."""
-        m_prev = m_scr[:, :1]                           # (block_q, 1)
+        """Online-softmax update with scores s (hb, bq, bk)."""
+        m_prev = m_scr[:, :, :1]                        # (hb, block_q, 1)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         if p_valid is not None:
             p = jnp.where(p_valid, p, 0.0)
         corr = jnp.exp(m_prev - m_new)
-        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0]
-        acc[:] = acc[:] * corr + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        l_new = l_scr[:, :, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0]                                    # (hb, block_k, d)
+        acc[:] = acc[:] * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
-    @pl.when(block_live & all_valid)
-    def _compute_fast():
+    def _scores():
         # feed the MXU in the input dtype (bf16 matmul + fp32 accumulate
         # when the model is bf16 — 4x the fp32 MXU rate; fp32 models keep
         # full-precision matmuls)
-        s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        _update(s)
+        return jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (hb, bq, bk)
+
+    @pl.when(block_live & all_valid)
+    def _compute_fast():
+        _update(_scores())
 
     @pl.when(block_live & jnp.logical_not(all_valid))
     def _compute_masked():
-        s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        s = _scores()
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             qpos = row + iq * block_q + (seq_kv - seq_q)
             valid = valid & (col + ik * block_k <= qpos)
+        valid = jnp.broadcast_to(valid[None], s.shape)
         s = jnp.where(valid, s, NEG_INF)
         _update(s, p_valid=valid)
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finalize():
-        l = l_scr[:, :1]
+        l = l_scr[:, :, :1]
         safe_l = jnp.where(l > 0.0, l, 1.0)
         o_ref[0] = (acc[:] / safe_l).astype(o_ref.dtype)
-        lse = jnp.where(l > 0.0, m_scr[:, :1] + jnp.log(safe_l), NEG_INF)
+        lse = jnp.where(l > 0.0, m_scr[:, :, :1] + jnp.log(safe_l), NEG_INF)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref[0].shape)
+
+
+def _pick_hb(h, block_q, block_k, d, extra_io=0, budget=12 * 2 ** 20):
+    """Heads per block: largest divisor of h whose whole kernel instance
+    fits the ~16 MB scoped-VMEM limit with margin.
+
+    The estimate is calibrated against Mosaic's actual scoped allocation
+    (hb=16 at 128x128/d128 allocates 20.27 MB — the fp32 score block is
+    NOT the dominant term; double-buffered in/out DMA blocks and the
+    fp32 scratch are of the same order).  Terms per head: score-block
+    temporaries (~2 fp32 copies), double-buffered q/k/v (+extra bwd
+    streams via extra_io) blocks, lane-replicated fp32 stats."""
+    per_head = (8 * block_q * block_k
+                + 12 * (block_q + 2 * block_k + extra_io) * d
+                + 16 * block_q * 128)
+    hb = 1
+    for cand in (2, 4, 8, 16):
+        if h % cand == 0 and cand * per_head <= budget:
+            hb = cand
+    return hb
 
 
 def _fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
@@ -273,44 +306,47 @@ def _fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
     maskp = jnp.pad(kv_mask, ((0, 0), (0, skv_p - skv)))
     maskp = maskp.astype(jnp.int32)[:, None, :]
 
-    bh = b * h
-    qp = qp.reshape(bh, sq_p, d)
-    kp = kp.reshape(bh, skv_p, d)
-    vp = vp.reshape(bh, skv_p, d)
     nq = sq_p // block_q
     nk = skv_p // block_k
+    hb = _pick_hb(h, block_q, block_k, d)
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, num_kv_blocks=nk, seq_q=sq, seq_kv=skv)
+        block_k=block_k, num_kv_blocks=nk, seq_q=sq, seq_kv=skv, hb=hb)
 
     out, lse = pl.pallas_call(
         kernel,
-        grid=(bh, nq, nk),
+        grid=(b, h // hb, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh_, iq, ik: (bh_, iq, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh_, iq, ik: (bh_, ik, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh_, iq, ik: (bh_, ik, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda bh_, iq, ik: (bh_ // h, 0, ik)),
+            pl.BlockSpec((1, hb, block_q, d),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, block_k, d),
+                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, hb, block_k, d),
+                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda ib, ih, iq, ik: (ib, 0, ik)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh_, iq, ik: (bh_, iq, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda bh_, iq, ik: (bh_, iq, 0)),
+            pl.BlockSpec((1, hb, block_q, d),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, block_q, 128),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq_p, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_p, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((hb, block_q, d), jnp.float32),
+            pltpu.VMEM((hb, block_q, 128), jnp.float32),
+            pltpu.VMEM((hb, block_q, 128), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp, maskp)
 
-    out = out.reshape(b, h, sq_p, d)[:, :, :sq]
-    lse = lse[:, :, 0].reshape(b, h, sq_p)[:, :, :sq]
+    out = out[:, :, :sq]
+    lse = lse[:, :, :sq, 0]
     return out, lse
 
 
@@ -318,9 +354,9 @@ def _fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal,
-                    block_q, block_k, num_q_blocks, seq_q, seq_kv):
-    iq = pl.program_id(2)
-    ik = pl.program_id(1)
+                    block_q, block_k, num_q_blocks, seq_q, seq_kv, hb):
+    iq = pl.program_id(3)
+    ik = pl.program_id(2)
 
     @pl.when(iq == 0)
     def _init():
@@ -343,26 +379,27 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         & jnp.logical_not(q_tail) & jnp.logical_not(crosses_diag)
 
     def _accumulate(p):
-        do = do_ref[0]
-        delta = delta_ref[0][:, :1]
+        # p: (hb, block_q, block_k)
+        do = do_ref[0]                                  # (hb, block_q, d)
+        delta = delta_ref[0][:, :, :1]                  # (hb, block_q, 1)
         dv_acc[:] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+            p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # (hb, block_k, d)
+        dp = jax.lax.dot_general(do, v_ref[0], (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         ds = (p * (dp - delta) * scale).astype(q_ref.dtype)
         dk_acc[:] += jax.lax.dot_general(
-            ds, q_ref[0], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            ds, q_ref[0], (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # (hb, block_k, d)
 
     def _scores():
         return jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (hb, bq, bk)
 
     @pl.when(block_live & all_valid)
     def _compute_fast():
-        _accumulate(jnp.exp(_scores() - lse_ref[0][:, :1]))
+        _accumulate(jnp.exp(_scores() - lse_ref[0][:, :, :1]))
 
     @pl.when(block_live & jnp.logical_not(all_valid))
     def _compute_masked():
@@ -374,7 +411,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         valid = valid & (qpos < seq_q)
         if causal:
             valid = valid & (col + ik * block_k <= qpos + (seq_kv - seq_q))
-        _accumulate(jnp.where(valid, jnp.exp(s - lse_ref[0][:, :1]), 0.0))
+        _accumulate(jnp.where(valid[None],
+                              jnp.exp(s - lse_ref[0][:, :, :1]), 0.0))
 
     @pl.when(iq == num_q_blocks - 1)
     def _finalize():
@@ -384,9 +422,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, dq_acc, *, scale, causal, block_q, block_k,
-                   num_kv_blocks, seq_q, seq_kv):
-    ik = pl.program_id(2)
-    iq = pl.program_id(1)
+                   num_kv_blocks, seq_q, seq_kv, hb):
+    ik = pl.program_id(3)
+    iq = pl.program_id(2)
 
     @pl.when(ik == 0)
     def _init():
@@ -407,22 +445,23 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         & jnp.logical_not(crosses_diag)
 
     def _accumulate(p):
-        do = do_ref[0]
-        delta = delta_ref[0][:, :1]
-        dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+        do = do_ref[0]                                  # (hb, block_q, d)
+        delta = delta_ref[0][:, :, :1]
+        dp = jax.lax.dot_general(do, v_ref[0], (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         ds = (p * (dp - delta) * scale).astype(k_ref.dtype)
-        dq_acc[:] += jax.lax.dot(ds, k_ref[0],
-                                 preferred_element_type=jnp.float32)
+        dq_acc[:] += jax.lax.dot_general(
+            ds, k_ref[0], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # (hb, block_q, d)
 
     def _scores():
         return jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
 
     @pl.when(block_live & all_valid)
     def _compute_fast():
-        _accumulate(jnp.exp(_scores() - lse_ref[0][:, :1]))
+        _accumulate(jnp.exp(_scores() - lse_ref[0][:, :, :1]))
 
     @pl.when(block_live & jnp.logical_not(all_valid))
     def _compute_masked():
@@ -433,7 +472,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             qpos = row + iq * block_q + (seq_kv - seq_q)
             valid = valid & (col + ik * block_k <= qpos)
-        _accumulate(jnp.where(valid, jnp.exp(s - lse_ref[0][:, :1]), 0.0))
+        _accumulate(jnp.where(valid[None],
+                              jnp.exp(s - lse_ref[0][:, :, :1]), 0.0))
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finalize():
@@ -449,82 +489,97 @@ def _bwd(causal, scale, block_q, block_k, interpret, res, g):
 
     sq_p = pl.cdiv(sq, block_q) * block_q
     skv_p = pl.cdiv(skv, block_k) * block_k
-    bh = b * h
 
     def pad3(x, s_to):
-        return jnp.pad(x, ((0, 0), (0, 0), (0, s_to - x.shape[2]), (0, 0))
-                       ).reshape(bh, s_to, d)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_to - x.shape[2]), (0, 0)))
 
     qp, dop = pad3(q, sq_p), pad3(do, sq_p)
     kp, vp = pad3(k, skv_p), pad3(v, skv_p)
     maskp = jnp.pad(kv_mask, ((0, 0), (0, skv_p - skv)))
     maskp = maskp.astype(jnp.int32)[:, None, :]
     lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - sq)),
-                    constant_values=NEG_INF).reshape(bh, sq_p)
-    delta_p = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq))
-                      ).reshape(bh, sq_p)
-    # stats as (bh, sq, 128) replicated in lanes for clean VMEM tiling
-    lse_t = jnp.broadcast_to(lse_p[:, :, None], (bh, sq_p, 128))
-    delta_t = jnp.broadcast_to(delta_p[:, :, None], (bh, sq_p, 128))
+                    constant_values=NEG_INF)
+    delta_p = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq)))
+    # stats as (b, h, sq, 128) replicated in lanes for clean VMEM tiling
+    lse_t = jnp.broadcast_to(lse_p[..., None], (b, h, sq_p, 128))
+    delta_t = jnp.broadcast_to(delta_p[..., None], (b, h, sq_p, 128))
 
     nq = sq_p // block_q
     nk = skv_p // block_k
+    # bwd kernels stream do (+dk/dv or dq) blocks on top of q/k/v
+    hb = _pick_hb(h, block_q, block_k, d, extra_io=block_q + 2 * block_k)
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, num_q_blocks=nq, seq_q=sq, seq_kv=skv)
+        block_k=block_k, num_q_blocks=nq, seq_q=sq, seq_kv=skv, hb=hb)
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(bh, nk, nq),
+        grid=(b, h // hb, nk, nq),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh_, ik, iq: (bh_, iq, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh_, ik, iq: (bh_, ik, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh_, ik, iq: (bh_, ik, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda bh_, ik, iq: (bh_ // h, 0, ik)),
-            pl.BlockSpec((1, block_q, d), lambda bh_, ik, iq: (bh_, iq, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda bh_, ik, iq: (bh_, iq, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda bh_, ik, iq: (bh_, iq, 0)),
+            pl.BlockSpec((1, hb, block_q, d),
+                         lambda ib, ih, ik, iq: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, block_k, d),
+                         lambda ib, ih, ik, iq: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, hb, block_k, d),
+                         lambda ib, ih, ik, iq: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda ib, ih, ik, iq: (ib, 0, ik)),
+            pl.BlockSpec((1, hb, block_q, d),
+                         lambda ib, ih, ik, iq: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, block_q, 128),
+                         lambda ib, ih, ik, iq: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, block_q, 128),
+                         lambda ib, ih, ik, iq: (ib, ih, iq, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda bh_, ik, iq: (bh_, ik, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh_, ik, iq: (bh_, ik, 0)),
+            pl.BlockSpec((1, hb, block_k, d),
+                         lambda ib, ih, ik, iq: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, hb, block_k, d),
+                         lambda ib, ih, ik, iq: (ib, ih, ik, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, skv_p, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, skv_p, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, skv_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, skv_p, d), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((hb, block_k, d), jnp.float32),
+            pltpu.VMEM((hb, block_k, d), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp, maskp, dop, lse_t, delta_t)
 
     dq_kernel = functools.partial(
         _bwd_dq_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, num_kv_blocks=nk, seq_q=sq, seq_kv=skv)
+        block_k=block_k, num_kv_blocks=nk, seq_q=sq, seq_kv=skv, hb=hb)
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(bh, nq, nk),
+        grid=(b, h // hb, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh_, iq, ik: (bh_, iq, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh_, iq, ik: (bh_, ik, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh_, iq, ik: (bh_, ik, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda bh_, iq, ik: (bh_ // h, 0, ik)),
-            pl.BlockSpec((1, block_q, d), lambda bh_, iq, ik: (bh_, iq, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda bh_, iq, ik: (bh_, iq, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda bh_, iq, ik: (bh_, iq, 0)),
+            pl.BlockSpec((1, hb, block_q, d),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, block_k, d),
+                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, hb, block_k, d),
+                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda ib, ih, iq, ik: (ib, 0, ik)),
+            pl.BlockSpec((1, hb, block_q, d),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, block_q, 128),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, block_q, 128),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d),
-                               lambda bh_, iq, ik: (bh_, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        out_specs=pl.BlockSpec((1, hb, block_q, d),
+                               lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((hb, block_q, d), jnp.float32)],
         interpret=interpret,
     )(qp, kp, vp, maskp, dop, lse_t, delta_t)
 
-    dq = dq.reshape(b, h, sq_p, d)[:, :, :sq]
-    dk = dk.reshape(b, h, skv_p, d)[:, :, :skv]
-    dv = dv.reshape(b, h, skv_p, d)[:, :, :skv]
+    dq = dq[:, :, :sq]
+    dk = dk[:, :, :skv]
+    dv = dv[:, :, :skv]
     return dq, dk, dv, None
 
 
@@ -564,15 +619,19 @@ def flash_attention(q: jnp.ndarray,
     """Flash attention over (B, H, S, D) tensors with optional causal masking
     and a (B, S_kv) key validity mask.  Differentiable (custom VJP).
 
-    Default blocks are tuned for v5e: 512x512 at causal >=1k (beats the
-    XLA attention there: 18.7 vs 20.4 ms fwd, 37.2 vs 44.3 ms fwd+bwd at
-    LLaMA-7B training shapes b8/h32/s2048/d128), 128x128 otherwise."""
+    Default blocks are tuned for v5e with heads-batched grids
+    (benchmarks/exp_flash_768.py at b8/h32/d128): causal >=1k uses
+    512x512 (9.1 ms/layer fwd at s2048 vs 13.9 XLA dense; the hb=1
+    kernel ran 18.7), causal <1k uses 384x384 (2.28 ms at s768 vs 2.23
+    XLA dense but without the (B,H,S,S) score materialization; the old
+    128x128 default ran 5.98), bidirectional tiling keeps 128 (the
+    whole-kv kernel handles every <=4k-kv encoder shape anyway)."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
     if block_q is None:
-        block_q = 512 if (causal and sq >= 1024) else DEFAULT_BLOCK
+        block_q = (512 if sq >= 1024 else 384) if causal else DEFAULT_BLOCK
     if block_k is None:
-        block_k = 512 if (causal and skv >= 1024) else DEFAULT_BLOCK
+        block_k = (512 if skv >= 1024 else 384) if causal else DEFAULT_BLOCK
     if scale is None:
         scale = d ** -0.5
     if kv_mask is None:
