@@ -27,7 +27,8 @@ def quantize_groma_llm(params: dict, cfg: GromaConfig,
     """Quantize the LLM branch of a GromaModel param tree; embeddings and
     the small extra head stay bf16.  ``bits`` selects int8 or packed int4
     (the reference's load_in_8bit / load_in_4bit switch,
-    reference: groma/eval/run_groma.py:43-61)."""
+    reference: groma/eval/run_groma.py:43-61), or 16 for a full-precision
+    bf16 tree with the same fused qkv/gate_up stream layout."""
     qp = quantize_llama_params(
         {'model': params['llm'],
          'embed_tokens': params['embed_tokens'],

@@ -91,11 +91,14 @@ def main():
     t = expand_template(ids, None, tokenizer.sp, spec.num_image_tokens,
                         spec.max_region_num, spec.max_seq_len)
 
-    if args.quant_type in ('int8', 'int4'):
+    if args.quant_type in ('bf16', 'int8', 'int4'):
+        # 'bf16' uses the fused qkv/gate_up bf16 tree (bits=16): same
+        # decode programs as the quantized paths, fewer weight streams
         from groma_tpu.eval.generate_quant import (QuantGenerator,
                                                    quantize_groma_llm)
-        qp = quantize_groma_llm(params, cfg,
-                                bits=4 if args.quant_type == 'int4' else 8)
+        qp = quantize_groma_llm(
+            params, cfg,
+            bits={'bf16': 16, 'int8': 8, 'int4': 4}[args.quant_type])
         gen = QuantGenerator(model, params, qp,
                              max_len=cfg.max_seq_len + 64,
                              kv_bits=args.kv_bits)

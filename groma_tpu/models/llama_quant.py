@@ -38,11 +38,22 @@ def quantize_llama_params(params: dict, cfg: LlamaConfig,
     ``bits=4`` packs two nibbles per byte with per-(K-block, column)
     scales (ops/quant4.py) — the runtime format behind the reference's
     bitsandbytes 4-bit switch (reference: groma/eval/run_groma.py:43-61);
-    the matmul dispatch keys on the stored dtype (uint8 = packed int4)."""
-    assert bits in (8, 4)
+    the matmul dispatch keys on the stored dtype (uint8 = packed int4).
+
+    ``bits=16`` keeps the weights bf16 but still fuses qkv and gate/up
+    into single streams — the full-precision decode then rides the same
+    jit programs (engine, QuantGenerator) as the quantized trees, with
+    fewer, larger HBM weight streams than the per-projection flax
+    forward."""
+    assert bits in (16, 8, 4)
 
     def q(kernel, pad_to=0):
         kernel = jnp.asarray(kernel)
+        if bits == 16:
+            if pad_to and kernel.shape[1] % pad_to:
+                kernel = jnp.pad(
+                    kernel, ((0, 0), (0, (-kernel.shape[1]) % pad_to)))
+            return {'q': kernel.astype(jnp.bfloat16)}
         if bits == 4 and kernel.shape[0] % INT4_BLOCK == 0 \
                 and kernel.shape[0] % 2 == 0:
             qw = quantize_weight_int4(kernel, block=INT4_BLOCK,
@@ -96,7 +107,10 @@ def _qmm(x, qw, a8: bool = False):
     cannot be folded out of an integer dot)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if qw['q'].dtype == jnp.uint8:
+    if qw['q'].dtype == jnp.bfloat16:                    # bits=16 tree
+        y = jax.lax.dot(x2.astype(jnp.bfloat16), qw['q'],
+                        preferred_element_type=jnp.float32).astype(x2.dtype)
+    elif qw['q'].dtype == jnp.uint8:
         y = int4_matmul(x2, qw['q'], qw['scale'], block=INT4_BLOCK)
     elif a8 and x2.shape[0] >= 256:
         y = w8a8_matmul(x2, qw['q'], qw['scale'])

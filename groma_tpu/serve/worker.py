@@ -52,13 +52,16 @@ class ModelWorker:
             image_size=self.cfg.perceiver.image_size)
         qp = None
         self._quant = quant_type in ('int8', 'int4')
-        if quant_type in ('int8', 'int4'):
+        if quant_type in ('bf16', 'int8', 'int4'):
             # weight-only quantized LLM (the single-16GB-chip production
-            # config; reference run_groma.py 8bit/4bit switch)
+            # config; reference run_groma.py 8bit/4bit switch).  'bf16'
+            # builds the same fused qkv/gate_up tree at full precision
+            # (quantize_llama_params bits=16) so unquantized serving
+            # rides the engine/QuantGenerator programs too.
             from groma_tpu.eval.generate_quant import quantize_groma_llm
             qp = quantize_groma_llm(
                 self.params, self.cfg,
-                bits=4 if quant_type == 'int4' else 8)
+                bits={'bf16': 16, 'int8': 8, 'int4': 4}[quant_type])
         self.engine = None
         if use_engine:
             # continuous batching: concurrent requests share the decode
@@ -273,9 +276,10 @@ def main():
                     help='continuous-batching engine (serve/engine.py)')
     ap.add_argument('--engine-slots', type=int, default=4)
     ap.add_argument('--quant_type', default='none',
-                    choices=['none', 'int8', 'int4'],
+                    choices=['none', 'bf16', 'int8', 'int4'],
                     help='weight-only quantized LLM (reference '
-                         'run_groma.py 8bit/4bit switch)')
+                         'run_groma.py 8bit/4bit switch); bf16 = '
+                         'full-precision fused-stream decode tree')
     ap.add_argument('--kv-bits', type=int, default=16, choices=[16, 8],
                     help='8 = int8 KV cache (quantized paths only)')
     ap.add_argument('--prefill-chunk', type=int, default=0,

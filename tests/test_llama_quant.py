@@ -180,3 +180,30 @@ def test_w8a8_prefill_close_to_weight_only(rng):
     h1, _ = quant_llama_forward(qp, CFG, emb1, jnp.ones((B, 1), bool),
                                 jnp.full((B, 1), S, jnp.int32), cache)
     assert np.isfinite(np.asarray(h1)).all()
+
+
+def test_bf16_tree_matches_flax(rng):
+    """bits=16 fused tree: same forward as the flax model up to bf16
+    rounding in the fused weight streams (no quantization noise)."""
+    model, params, _, ids = _setup(rng)
+    qp16 = quantize_llama_params(params, CFG, bits=16)
+    want, _ = model.apply({'params': params}, ids)
+    emb = qp16['embed_tokens'][ids].astype(jnp.float32)
+    mask = jnp.ones_like(ids, dtype=bool)
+    pos = jnp.broadcast_to(jnp.arange(12)[None], (1, 12))
+    h, _ = quant_llama_forward(qp16, CFG, emb, mask, pos)
+    got = quant_llama_logits(qp16, h)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=0.08, rtol=0.05)
+    # decode step parity through a cache
+    cache = make_kv_cache(CFG, 1, 16, dtype=jnp.float32)
+    h6, cache = quant_llama_forward(qp16, CFG, emb[:, :6], mask[:, :6],
+                                    pos[:, :6], cache)
+    full_h, _ = quant_llama_forward(qp16, CFG, emb, mask, pos)
+    for t in range(6, 12):
+        ht, cache = quant_llama_forward(qp16, CFG, emb[:, t:t + 1],
+                                        mask[:, t:t + 1], pos[:, t:t + 1],
+                                        cache)
+        np.testing.assert_allclose(np.asarray(ht[:, 0]),
+                                   np.asarray(full_h[:, t]), atol=1e-4)
