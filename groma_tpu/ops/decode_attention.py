@@ -31,30 +31,33 @@ from groma_tpu.ops.quant import _on_tpu
 
 def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref, o_ref,
             *, heads: int, scale: float):
+    """All hb heads processed as one (hb, .) batch: a python loop over
+    heads issued per-head (1, S) VPU rows (1 of 8 sublanes live) and
+    serial per-head matvecs; batching fills the sublanes and lets the
+    softmax/requantize VPU work of all heads pipeline against the k/v
+    DMA streams."""
     bias = bias_ref[0, 0, 0, :].astype(jnp.float32)          # (S,)
-    for h in range(heads):
-        q = q_ref[0, h].astype(jnp.float32)                   # (1, D)
-        amax = jnp.max(jnp.abs(q))
-        qs = jnp.where(amax > 0, amax / 127.0, 1.0)
-        q8 = jnp.round(q / qs).astype(jnp.int8)
-        k8 = k_ref[0, h]                                      # (S, D) int8
-        s = jax.lax.dot_general(
-            q8, k8, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)                 # (1, S)
-        s = s.astype(jnp.float32) * (qs * scale) \
-            * ks_ref[0, h][None, :] + bias[None, :]
-        m = jnp.max(s)
-        p = jnp.exp(s - m)                                    # (1, S) f32
-        denom = jnp.sum(p)
-        ps = p * vs_ref[0, h][None, :]
-        r = jnp.max(ps)
-        r = jnp.where(r > 0, r / 127.0, 1.0)
-        p8 = jnp.round(ps / r).astype(jnp.int8)
-        o = jax.lax.dot_general(
-            p8, v_ref[0, h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)                 # (1, D)
-        o_ref[0, h] = (o.astype(jnp.float32)
-                       * (r / jnp.maximum(denom, 1e-30)))
+    q = q_ref[0, :, 0].astype(jnp.float32)                    # (hb, D)
+    amax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)        # (hb, 1)
+    qs = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q8 = jnp.round(q / qs).astype(jnp.int8)
+    s = jax.lax.dot_general(
+        q8[:, None], k_ref[0], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)[:, 0]               # (hb, S)
+    s = s.astype(jnp.float32) * (qs * scale) \
+        * ks_ref[0] + bias[None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)                                        # (hb, S)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    ps = p * vs_ref[0]
+    r = jnp.max(ps, axis=-1, keepdims=True)
+    r = jnp.where(r > 0, r / 127.0, 1.0)
+    p8 = jnp.round(ps / r).astype(jnp.int8)
+    o = jax.lax.dot_general(
+        p8[:, None], v_ref[0], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)[:, 0]               # (hb, D)
+    o_ref[0, :, 0] = (o.astype(jnp.float32)
+                      * (r / jnp.maximum(denom, 1e-30)))
 
 
 @functools.partial(jax.jit, static_argnames=('block_h', 'interpret'))
@@ -74,6 +77,16 @@ def int8_decode_attention(q: jnp.ndarray, k8: jnp.ndarray, ks: jnp.ndarray,
         # reference path (CPU tests / ragged shapes)
         from groma_tpu.models.llama_quant import _int8_cache_attention
         return _int8_cache_attention(q, k8, ks, v8, vs, mask_bias)
+    return _call_kernel(q, k8, ks, v8, vs, mask_bias, block_h=block_h,
+                        interpret=False)
+
+
+def _call_kernel(q, k8, ks, v8, vs, mask_bias, block_h: int = 8,
+                 interpret: bool = False):
+    """The pallas_call itself; ``interpret=True`` runs the kernel body
+    through the Pallas interpreter (CPU kernel-logic tests)."""
+    b, h, one, d = q.shape
+    s = k8.shape[2]
     # the (1, hb, S) scale blocks need their second-to-last dim to be a
     # multiple of 8 (TPU sublane granularity) unless hb == h
     hb = min(block_h, h)

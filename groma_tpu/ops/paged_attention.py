@@ -65,42 +65,42 @@ def _kernel(table_ref, len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
     valid = idx < len_ref[b]                              # (1, PAGE)
     bias = jnp.where(valid, 0.0, NEG)
 
-    for h in range(heads):
-        q = q_ref[0, h].astype(jnp.float32)               # (1, D)
-        amax = jnp.max(jnp.abs(q))
-        qs = jnp.where(amax > 0, amax / 127.0, 1.0)
-        q8 = jnp.round(q / qs).astype(jnp.int8)
-        k8 = k_ref[0, h]                                  # (PAGE, D) int8
-        s = jax.lax.dot_general(
-            q8, k8, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)             # (1, PAGE)
-        s = s.astype(jnp.float32) * (qs * scale) \
-            * ks_ref[0, h][None, :] + bias
+    # all heads as one (heads, .) batch — a python loop over heads issued
+    # per-head (1, PAGE) VPU rows (1 of 8 sublanes live) and serial
+    # per-head matvecs (see ops/decode_attention.py)
+    q = q_ref[0, :, 0].astype(jnp.float32)                # (heads, D)
+    amax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+    qs = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q8 = jnp.round(q / qs).astype(jnp.int8)
+    s = jax.lax.dot_general(
+        q8[:, None], k_ref[0], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)[:, 0]           # (heads, PAGE)
+    s = s.astype(jnp.float32) * (qs * scale) * ks_ref[0] + bias
 
-        m_old = m_ref[h, 0]
-        m_new = jnp.maximum(m_old, jnp.max(s))
-        corr = jnp.exp(m_old - m_new)
-        pv = jnp.exp(s - m_new)                           # (1, PAGE) f32
-        # scalar stores to VMEM are rejected by Mosaic: keep the running
-        # stats lane-replicated and store full (128,) rows
-        l_ref[h, :] = jnp.full((128,), l_ref[h, 0] * corr + jnp.sum(pv))
-        m_ref[h, :] = jnp.full((128,), m_new)
+    m_old = m_ref[:, :1]                                  # (heads, 1)
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+    corr = jnp.exp(m_old - m_new)
+    pv = jnp.exp(s - m_new)                               # (heads, PAGE)
+    # scalar stores to VMEM are rejected by Mosaic: keep the running
+    # stats lane-replicated and store full (heads, 128) planes
+    l_ref[...] = jnp.broadcast_to(
+        l_ref[:, :1] * corr + jnp.sum(pv, axis=-1, keepdims=True),
+        l_ref.shape)
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
 
-        ps = pv * vs_ref[0, h][None, :]
-        r = jnp.max(ps)
-        r = jnp.where(r > 0, r / 127.0, 1.0)
-        p8 = jnp.round(ps / r).astype(jnp.int8)
-        o = jax.lax.dot_general(
-            p8, v_ref[0, h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)             # (1, D)
-        acc_ref[h, :] = (acc_ref[h, :] * corr
-                         + o[0].astype(jnp.float32) * r)
+    ps = pv * vs_ref[0]
+    r = jnp.max(ps, axis=-1, keepdims=True)
+    r = jnp.where(r > 0, r / 127.0, 1.0)
+    p8 = jnp.round(ps / r).astype(jnp.int8)
+    o = jax.lax.dot_general(
+        p8[:, None], v_ref[0], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)[:, 0]           # (heads, D)
+    acc_ref[...] = acc_ref[...] * corr + o.astype(jnp.float32) * r
 
     @pl.when(p == np_ - 1)
     def _done():
-        for h in range(heads):
-            l = jnp.maximum(l_ref[h, 0], 1e-30)
-            o_ref[0, h] = (acc_ref[h, :] / l)[None, :]
+        l = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0, :, 0] = acc_ref[...] / l
 
 
 def paged_attention_reference(q, kpool, ks, vpool, vs, table, lengths):

@@ -23,10 +23,14 @@ def _mk(rng, b=2, h=4, s=256, d=128, masked_tail=32):
 
 
 def test_fused_matches_xla_chain_interpret(rng):
-    """interpret=True exercises the kernel body on CPU."""
+    """Pallas-interpreter run of the ACTUAL kernel body on CPU.
+
+    (int8_decode_attention(interpret=True) routes to the XLA fallback
+    by design; _call_kernel is the kernel itself.)"""
+    from groma_tpu.ops.decode_attention import _call_kernel
     args = _mk(rng)
     want = np.asarray(_int8_cache_attention(*args))
-    got = np.asarray(int8_decode_attention(*args, interpret=True))
+    got = np.asarray(_call_kernel(*args, interpret=True))
     # both paths quantize p at slightly different normalizations; the
     # int8-rounded products agree to ~1% relative
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
