@@ -30,11 +30,19 @@ def mk_q4(k, n, rng=None):
             'scale': jnp.full((k // INT4_BLOCK, n), 1e-4, jnp.float32)}
 
 
+def mk_q16(k, n):
+    """bf16 fused-stream operand (bits=16 tree — full-precision decode
+    through the same jit programs)."""
+    import jax.numpy as jnp
+    return {'q': jnp.full((k, n), 1e-3, jnp.bfloat16)}
+
+
 def mk_layer(cfg, bits=8, rng=None):
     """One decoder layer's quantized weight dict."""
     import jax.numpy as jnp
     H, I = cfg.hidden_size, cfg.intermediate_size
-    mk = mk_q8 if bits == 8 else (lambda k, n: mk_q4(k, n, rng))
+    mk = {16: mk_q16, 8: mk_q8,
+          4: (lambda k, n: mk_q4(k, n, rng))}[bits]
     return {
         'input_layernorm': jnp.ones((H,), jnp.float32),
         'post_attention_layernorm': jnp.ones((H,), jnp.float32),
@@ -55,7 +63,8 @@ def mk_llama_quant_params(cfg, bits=8, num_new_token=0, pad_vocab=True,
     import jax.numpy as jnp
     H, V, L = cfg.hidden_size, cfg.vocab_size, cfg.num_layers
     rng = np.random.default_rng(0)
-    mk = mk_q8 if bits == 8 else (lambda k, n: mk_q4(k, n, rng))
+    mk = {16: mk_q16, 8: mk_q8,
+          4: (lambda k, n: mk_q4(k, n, rng))}[bits]
     VP = V + (-V) % 512 if pad_vocab else V
     qp = {
         'layers': [mk_layer(cfg, bits, rng) for _ in range(L)],

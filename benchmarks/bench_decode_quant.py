@@ -91,6 +91,13 @@ def main(which='driver'):
     measure(qp4, 1, False, 'llama7b_int4_decode_tok_per_sec')
     measure(qp4, 8, True, 'llama7b_int4_kv8_batch8_decode_tok_per_sec',
             '(peak serving config)')
+    if which == 'all':
+        del qp4
+        # bf16 fused-stream tree (bits=16): full-precision single-stream
+        # decode through the same programs (weights ~13.2 GB: B=1 only)
+        qp16 = mk_llama_quant_params(cfg, bits=16)
+        measure(qp16, 1, True, 'llama7b_bf16_kv8_decode_tok_per_sec',
+                '(fused bf16 tree + int8 KV)')
 
 
 if __name__ == '__main__':
