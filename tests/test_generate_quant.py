@@ -76,3 +76,32 @@ def test_quant_generator_int8_kv(rng):
                                vis16['selected_boxes'], atol=1e-5)
     # first decoded token comes from the (identical) prefill logits
     assert toks8[0, 0] == toks16[0, 0]
+
+
+def test_bf16_tree_generator_matches_fp_tokens(rng):
+    """bits=16 fused tree: greedy tokens MATCH the full-precision
+    Generator exactly on the tiny fp32 model (no quantization noise —
+    the fused tree is the same math with fused weight streams)."""
+    tok = StubTokenizer(base_vocab=CFG.llm.vocab_size)
+    model = GromaModel(CFG)
+    t = build_rec_prompt('thing', tok, SPEC)
+    img = jnp.asarray(rng.standard_normal((1, 56, 56, 3)), jnp.float32)
+    kw = dict(images=img,
+              input_ids=jnp.asarray(t['input_ids'][None]),
+              region_slot=jnp.asarray(t['region_slot'][None]),
+              base_valid=jnp.asarray(t['valid'][None]))
+    params = model.init(jax.random.PRNGKey(0), **kw)['params']
+    qp16 = quantize_groma_llm(params, CFG, bits=16)
+
+    fp = Generator(model, params, max_len=CFG.max_seq_len + 8)
+    qg = QuantGenerator(model, params, qp16, max_len=CFG.max_seq_len + 8)
+    toks_fp, vis_fp = fp.generate(
+        img, kw['input_ids'], kw['region_slot'], kw['base_valid'],
+        max_new_tokens=4, eos_id=tok.sp.eos)
+    toks_16, vis_16 = qg.generate(
+        img, kw['input_ids'], kw['region_slot'], kw['base_valid'],
+        max_new_tokens=4, eos_id=tok.sp.eos)
+    np.testing.assert_allclose(vis_16['selected_boxes'],
+                               vis_fp['selected_boxes'], atol=1e-5)
+    w = min(toks_fp.shape[1], toks_16.shape[1])
+    np.testing.assert_array_equal(toks_16[:, :w], toks_fp[:, :w])
