@@ -10,7 +10,11 @@ cxcywh), which the page draws color-coded on a canvas over the uploaded
 image (reference: gradio_web_server returns images with boxes drawn
 server-side; drawing client-side keeps the worker payload JSON-only).
 Multi-turn state is kept client-side and replayed through the request's
-``history`` field."""
+``history`` field.  The reference UI's remaining controls are mirrored
+too: regenerate (re-runs the last prompt), up/down votes (appended as
+JSON lines to ``--vote-log``, the analogue of gradio_web_server's
+vote_last_response logging), and temperature / max-token inputs passed
+through to the worker."""
 
 from __future__ import annotations
 
@@ -18,6 +22,7 @@ import argparse
 import base64
 import io
 import json
+import time
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -37,6 +42,13 @@ canvas{border:1px solid #888;max-width:100%}
 <canvas id="cv" width="448" height="448" style="display:none"></canvas><br>
 <textarea id="q" rows="2" placeholder="Ask about the image..."></textarea>
 <button id="sendbtn" onclick="send()">Send</button>
+<button id="regen" onclick="regenerate()" disabled>Regenerate</button>
+<button id="up" onclick="vote(1)" disabled>&#128077;</button>
+<button id="down" onclick="vote(-1)" disabled>&#128078;</button>
+<label>temp <input id="temp" type="number" value="0" min="0" max="2"
+ step="0.1" style="width:4em"></label>
+<label>max tokens <input id="maxtok" type="number" value="256" min="1"
+ max="1024" style="width:5em"></label>
 <div id="log"></div>
 <script>
 const COLORS=['#e6194b','#3cb44b','#4363d8','#f58231','#911eb4',
@@ -78,31 +90,55 @@ function colorize(text,n){
       const c=COLORS[(k<n?k:0)%COLORS.length];
       return '<span class="r" style="color:'+c+'">['+(k++)+']</span>';});
 }
-async function send(){
+let lastQ=null,lastA=null;
+async function ask(q){
   const f=document.getElementById('img').files[0];
   if(!f){alert('pick an image');return;}
   const b64=await new Promise(r=>{const fr=new FileReader();
     fr.onload=()=>r(fr.result.split(',')[1]);fr.readAsDataURL(f);});
-  const q=document.getElementById('q').value;
   const log=document.getElementById('log');
   log.innerHTML+='USER: '+colorize(q,0)+'\\n';
   document.getElementById('sendbtn').disabled=true;
   try{
     const resp=await fetch('/chat',{method:'POST',
       headers:{'Content-Type':'application/json'},
-      body:JSON.stringify({image_b64:b64,prompt:q,history:history})});
+      body:JSON.stringify({image_b64:b64,prompt:q,history:history,
+        temperature:parseFloat(document.getElementById('temp').value)||0,
+        max_new_tokens:
+          parseInt(document.getElementById('maxtok').value)||256})});
     const data=await resp.json();
     const boxes=data.boxes||[];
     log.innerHTML+='ASSISTANT: '+colorize(data.text,boxes.length)+'\\n';
     if(boxes.length)drawBoxes(boxes);
     history.push([q,data.text]);
-    document.getElementById('q').value='';
+    lastQ=q;lastA=data.text;
+    for(const id of ['regen','up','down'])
+      document.getElementById(id).disabled=false;
   }finally{document.getElementById('sendbtn').disabled=false;}
+}
+async function send(){
+  const q=document.getElementById('q').value;
+  await ask(q);
+  document.getElementById('q').value='';
+}
+async function regenerate(){
+  if(lastQ===null)return;
+  history.pop();               // drop the exchange being regenerated
+  await ask(lastQ);
+}
+async function vote(v){
+  if(lastA===null)return;
+  await fetch('/vote',{method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body:JSON.stringify({prompt:lastQ,answer:lastA,vote:v})});
+  document.getElementById('up').disabled=true;
+  document.getElementById('down').disabled=true;
 }
 </script></body></html>"""
 
 
-def make_handler(controller_addr: str, model_name: str):
+def make_handler(controller_addr: str, model_name: str,
+                 vote_log: str = 'web_votes.jsonl'):
     def post_json(url, payload):
         req = urllib.request.Request(
             url, data=json.dumps(payload).encode(),
@@ -122,13 +158,32 @@ def make_handler(controller_addr: str, model_name: str):
             self.end_headers()
             self.wfile.write(body)
 
+        def _reply(self, out):
+            body = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
+            n = int(self.headers.get('Content-Length', 0))
+            data = json.loads(self.rfile.read(n))
+            if self.path == '/vote':
+                # reference: gradio_web_server vote_last_response appends
+                # the rated exchange to a conv log file
+                rec = {'ts': time.time(), 'model': model_name,
+                       'prompt': data.get('prompt'),
+                       'answer': data.get('answer'),
+                       'vote': data.get('vote')}
+                with open(vote_log, 'a') as f:
+                    f.write(json.dumps(rec) + '\n')
+                self._reply({'ok': True})
+                return
             if self.path != '/chat':
                 self.send_response(404)
                 self.end_headers()
                 return
-            n = int(self.headers.get('Content-Length', 0))
-            data = json.loads(self.rfile.read(n))
             # resolve a worker through the controller
             raw = post_json(controller_addr + '/get_worker_address',
                             {'model': model_name})
@@ -144,16 +199,14 @@ def make_handler(controller_addr: str, model_name: str):
                 img448, _ = resize(img, (448, 448))
                 payload = {'image': normalize(img448).tolist(),
                            'prompt': data['prompt'],
-                           'history': data.get('history', [])}
+                           'history': data.get('history', []),
+                           'temperature': data.get('temperature', 0.0),
+                           'max_new_tokens': data.get('max_new_tokens',
+                                                      256)}
                 raw = post_json(addr + '/worker_generate_stream', payload)
                 chunks = [c for c in raw.decode().split('\0') if c.strip()]
                 out = json.loads(chunks[-1])
-            body = json.dumps(out).encode()
-            self.send_response(200)
-            self.send_header('Content-Type', 'application/json')
-            self.send_header('Content-Length', str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._reply(out)
 
     return Handler
 
@@ -164,9 +217,13 @@ def main():
     ap.add_argument('--port', type=int, default=7860)
     ap.add_argument('--controller-url', default='http://localhost:21001')
     ap.add_argument('--model', default='groma')
+    ap.add_argument('--vote-log', default='web_votes.jsonl',
+                    help='JSONL file for up/down votes (reference: '
+                         'gradio_web_server vote logging)')
     a = ap.parse_args()
     httpd = ThreadingHTTPServer(
-        (a.host, a.port), make_handler(a.controller_url, a.model))
+        (a.host, a.port),
+        make_handler(a.controller_url, a.model, vote_log=a.vote_log))
     print(f'web UI on http://{a.host}:{a.port}')
     httpd.serve_forever()
 

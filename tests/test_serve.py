@@ -126,3 +126,36 @@ def test_worker_quant_engine_stream():
         httpd.shutdown()
         if w.engine is not None:
             w.engine.close()
+
+
+def test_web_ui_page_and_votes(tmp_path):
+    """Web UI: page serves the control set (canvas/regenerate/votes) and
+    /vote appends JSON lines (reference: gradio_web_server
+    vote_last_response)."""
+    from groma_tpu.serve.web import make_handler as mk_web
+
+    vlog = str(tmp_path / 'votes.jsonl')
+    httpd = ThreadingHTTPServer(
+        ('127.0.0.1', 0), mk_web('http://127.0.0.1:1', 'groma',
+                                 vote_log=vlog))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f'http://127.0.0.1:{port}/', timeout=30) as r:
+            page = r.read().decode()
+        for needle in ('canvas', 'regenerate()', 'vote(1)', 'temp',
+                       'max tokens'):
+            assert needle in page, needle
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/vote',
+            data=json.dumps({'prompt': 'p', 'answer': 'a',
+                             'vote': 1}).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())['ok'] is True
+        rec = json.loads(open(vlog).read().strip())
+        assert rec['vote'] == 1 and rec['prompt'] == 'p'
+    finally:
+        httpd.shutdown()
