@@ -27,18 +27,57 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def discover_launch_env(env) -> Optional[dict]:
+    """Resolve multi-host launch coordinates from the environment, with
+    the reference's precedence (groma/utils.py:143-185
+    init_distributed_mode): torchrun-style env:// (RANK / WORLD_SIZE /
+    MASTER_ADDR[:MASTER_PORT]) first, then SLURM (SLURM_PROCID /
+    SLURM_NTASKS + a coordinator host), then JAX-native
+    COORDINATOR_ADDRESS.  Returns None on single-host (no vars set) —
+    pure function, unit-testable without a cluster."""
+    if 'RANK' in env and 'WORLD_SIZE' in env:
+        addr = env.get('MASTER_ADDR', '127.0.0.1')
+        port = env.get('MASTER_PORT', '8476')
+        return {'coordinator_address': f'{addr}:{port}',
+                'num_processes': int(env['WORLD_SIZE']),
+                'process_id': int(env['RANK'])}
+    if 'SLURM_PROCID' in env and 'SLURM_NTASKS' in env:
+        addr = (env.get('MASTER_ADDR')
+                or env.get('SLURM_LAUNCH_NODE_IPADDR'))
+        if addr is None and env.get('SLURM_NODELIST'):
+            # first hostname of the allocation (the reference shells out
+            # to `scontrol show hostname`; a bare comma-free prefix is
+            # the common case and avoids the dependency)
+            addr = re.split(r'[\[,]', env['SLURM_NODELIST'])[0]
+        port = env.get('MASTER_PORT', '8476')
+        return {'coordinator_address': f'{addr}:{port}',
+                'num_processes': int(env['SLURM_NTASKS']),
+                'process_id': int(env['SLURM_PROCID'])}
+    if 'COORDINATOR_ADDRESS' in env:
+        return {'coordinator_address': env['COORDINATOR_ADDRESS'],
+                'num_processes': int(env['JAX_NUM_PROCESSES'])
+                if 'JAX_NUM_PROCESSES' in env else None,
+                'process_id': int(env['JAX_PROCESS_ID'])
+                if 'JAX_PROCESS_ID' in env else None}
+    return None
+
+
 def init_distributed(coordinator_address=None, num_processes=None,
                      process_id=None):
     """Multi-host process-group init (the reference's
     init_distributed_mode, reference: groma/utils.py:143-185, env:// and
-    SLURM discovery).  jax.distributed reads the standard env vars
-    (COORDINATOR_ADDRESS etc.) when args are None; on single-host runs
-    this is a no-op."""
+    SLURM discovery).  Explicit args win; otherwise launch coordinates
+    are discovered from torchrun/SLURM/JAX env vars
+    (discover_launch_env); on single-host runs this is a no-op."""
     import os
-    if num_processes is None and 'JAX_NUM_PROCESSES' not in os.environ \
-            and coordinator_address is None \
-            and 'COORDINATOR_ADDRESS' not in os.environ:
-        return False  # single-host
+    if coordinator_address is None and num_processes is None:
+        found = discover_launch_env(os.environ)
+        if found is None:
+            return False  # single-host
+        coordinator_address = found['coordinator_address']
+        num_processes = found['num_processes']
+        process_id = found['process_id'] if process_id is None \
+            else process_id
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id)

@@ -114,3 +114,31 @@ def test_sharded_decode_matches_single_device(rng):
         sp = shard_params(params, mesh, fsdp_min_size=2 ** 10)
         got = np.asarray(jax.jit(generate)(sp, ids))
     np.testing.assert_array_equal(got, want)
+
+
+def test_discover_launch_env_precedence():
+    """Launch-coordinate discovery mirrors the reference's
+    init_distributed_mode precedence (groma/utils.py:143-185):
+    torchrun env:// first, then SLURM, then JAX-native; None single-host."""
+    from groma_tpu.parallel.mesh import discover_launch_env
+
+    assert discover_launch_env({}) is None
+    got = discover_launch_env({'RANK': '3', 'WORLD_SIZE': '8',
+                               'MASTER_ADDR': '10.0.0.1',
+                               'MASTER_PORT': '1234'})
+    assert got == {'coordinator_address': '10.0.0.1:1234',
+                   'num_processes': 8, 'process_id': 3}
+    # torchrun vars win over SLURM when both are set (env:// precedence)
+    got = discover_launch_env({'RANK': '0', 'WORLD_SIZE': '2',
+                               'MASTER_ADDR': 'a',
+                               'SLURM_PROCID': '1', 'SLURM_NTASKS': '4'})
+    assert got['num_processes'] == 2 and got['process_id'] == 0
+    got = discover_launch_env({'SLURM_PROCID': '1', 'SLURM_NTASKS': '4',
+                               'SLURM_NODELIST': 'node[1-4]'})
+    assert got == {'coordinator_address': 'node:8476',
+                   'num_processes': 4, 'process_id': 1}
+    got = discover_launch_env({'COORDINATOR_ADDRESS': 'h:9',
+                               'JAX_NUM_PROCESSES': '2',
+                               'JAX_PROCESS_ID': '1'})
+    assert got == {'coordinator_address': 'h:9', 'num_processes': 2,
+                   'process_id': 1}
