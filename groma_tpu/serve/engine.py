@@ -46,8 +46,15 @@ class Session:
         self.vis = None            # proposal pool (boxes + mask), set at
         self.tokens: list = []     # prefill time; grows as chunks arrive
         self.done = False
+        self.cancelled = False     # client stop (e.g. stop-string hit)
         self.truncated = False     # paged mode: stream ended early
                                    # because the page pool ran dry
+
+    def cancel(self):
+        """Client-side early stop (e.g. the worker matched a stop
+        string): the engine frees this slot at the next burst boundary;
+        the token stream ends after the in-flight chunk."""
+        self.cancelled = True
 
     def token_stream(self):
         """Yields token ids as they are produced; ends at EOS/length."""
@@ -378,9 +385,14 @@ class BatchEngine:
             group = []
             while len(group) < min(self.admit_batch, len(free)):
                 try:
-                    group.append(self._queue.get_nowait()[2])
+                    req = self._queue.get_nowait()[2]
                 except queue.Empty:
                     break
+                if req[0].cancelled:      # cancelled while waiting
+                    req[0].done = True
+                    req[0]._q.put(None)
+                    continue
+                group.append(req)
             if not group:
                 return
             if len(group) >= 2 and self.admit_batch > 1 \
@@ -599,7 +611,7 @@ class BatchEngine:
                 hit_eos = t == self.eos_id
                 if hit_eos or self._emitted[slot] >= cap:
                     break
-            if hit_eos or done_np[slot] \
+            if hit_eos or done_np[slot] or sess.cancelled \
                     or self._emitted[slot] >= cap:
                 self._finish(slot)
 

@@ -169,8 +169,17 @@ class ModelWorker:
                 # JSON chunks)
                 max_new = int(request.get('max_new_tokens', 256))
                 chunk = int(request.get('stream_chunk', 16))
+                # optional stop string (reference: model_worker.py
+                # params["stop"]); generation halts when the decoded
+                # text contains it, and the text is truncated before it
+                stop_str = request.get('stop') or None
                 collected = []
                 eos = self.tokenizer.sp.eos
+
+                def cut_stop(text):
+                    if stop_str and stop_str in text:
+                        return text[:text.index(stop_str)], True
+                    return text, False
                 if self.engine is not None:
                     # continuous-batching path: tokens stream out as the
                     # engine's decode chunks land; concurrent requests
@@ -192,9 +201,12 @@ class ModelWorker:
                             collected.append(tk)
                         n += 1
                         if n % chunk == 0:
-                            yield {'text':
-                                   self.tokenizer.decode(collected),
-                                   'error_code': 0}
+                            text, hit = cut_stop(
+                                self.tokenizer.decode(collected))
+                            yield {'text': text, 'error_code': 0}
+                            if hit:
+                                sess.cancel()  # frees the slot next burst
+                                break
                         if n >= max_new:
                             break
                     row_all = list(sess.tokens)
@@ -217,14 +229,18 @@ class ModelWorker:
                     row = [int(x) for x in tokens[0]]
                     for i in range(0, len(row), chunk):
                         collected = [x for x in row[:i + chunk] if x != eos]
-                        yield {'text': self.tokenizer.decode(collected),
-                               'error_code': 0}
+                        text, hit = cut_stop(
+                            self.tokenizer.decode(collected))
+                        yield {'text': text, 'error_code': 0}
+                        if hit:
+                            break
                 ks = parse_region_tokens(
                     tokens, self.tokenizer.sp.box_idx_start)[0]
                 cap = vis['selected_mask'].shape[1]
                 boxes = [vis['selected_boxes'][0, k].tolist() for k in ks
                          if k < cap and vis['selected_mask'][0, k]]
-                final = {'text': self.tokenizer.decode(collected),
+                final = {'text': cut_stop(
+                             self.tokenizer.decode(collected))[0],
                          'boxes': boxes, 'error_code': 0}
                 if self.engine is not None and sess.truncated:
                     # paged mode: the shared page pool ran dry mid-stream

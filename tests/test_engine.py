@@ -353,3 +353,34 @@ def test_priority_orders_admission(rng):
         eng.close()
 
     assert first_token_at['high'] < first_token_at['low'], first_token_at
+
+
+def test_session_cancel_frees_slot(rng):
+    """Session.cancel (the worker's stop-string path) ends the stream at
+    the next burst boundary and frees the slot for a waiting request."""
+    model = GromaModel(CFG)
+    tok, reqs = _requests(rng, 2)
+    img0 = jnp.asarray(reqs[0][0])[None]
+    params = model.init(
+        jax.random.PRNGKey(0), images=img0,
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+
+    eng = BatchEngine(model, params, max_slots=1,
+                      max_len=CFG.max_seq_len + 64 + 8,
+                      eos_id=tok.sp.eos, chunk=2, max_new_tokens=64)
+    try:
+        s0 = eng.submit(*reqs[0])
+        stream = s0.token_stream()
+        next(stream)             # at least one token produced
+        s0.cancel()
+        rest = list(stream)      # must terminate (slot freed)
+        assert len(rest) < 64
+        assert s0.done
+        # the freed slot admits and completes a second request
+        s1 = eng.submit(*reqs[1], max_new_tokens=4)
+        got = list(s1.token_stream())
+        assert 1 <= len(got) <= 4 + 1
+    finally:
+        eng.close()

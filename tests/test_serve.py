@@ -159,3 +159,33 @@ def test_web_ui_page_and_votes(tmp_path):
         assert rec['vote'] == 1 and rec['prompt'] == 'p'
     finally:
         httpd.shutdown()
+
+
+def test_worker_stop_string():
+    """'stop' request param truncates generation at the stop string
+    (reference: model_worker.py params['stop']).  The stub tokenizer
+    decodes plain tokens as 'w<N>', so stop='w' hits immediately."""
+    from groma_tpu.serve.worker import ModelWorker, make_handler as mk_w
+
+    w = ModelWorker('tiny')
+    httpd = ThreadingHTTPServer(('127.0.0.1', 0), mk_w(w))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        sz = w.cfg.perceiver.image_size
+        image = [[[0.1, 0.2, 0.3]] * sz] * sz
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/worker_generate_stream',
+            data=json.dumps({'prompt': 'what is here?', 'image': image,
+                             'max_new_tokens': 6,
+                             'stop': 'w'}).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            body = r.read().decode(errors='replace')
+        frames = [json.loads(x) for x in body.split('\0') if
+                  x.strip().startswith('{')]
+        assert frames and frames[-1]['error_code'] == 0
+        assert 'w' not in frames[-1]['text']
+    finally:
+        httpd.shutdown()
