@@ -78,7 +78,8 @@ class BatchEngine:
                  prefill_chunk_tokens: Optional[int] = None,
                  admit_batch: int = 1, w8a8_prefill: bool = False,
                  paged_kv: bool = False,
-                 kv_pool_tokens: Optional[int] = None):
+                 kv_pool_tokens: Optional[int] = None,
+                 sample_seed: int = 0):
         """``prefill_chunk_tokens`` (quantized path only) enables CHUNKED
         PREFILL: a new request's prompt is prefilled in fixed-size token
         chunks with a decode burst for the active slots between chunks,
@@ -238,13 +239,25 @@ class BatchEngine:
             out['index'] = cache['index'].at[slot].set(write_index)
             return out
 
-        def decode_chunk(params, qp, cache, tok0, pos0, active, done0):
-            """``chunk`` greedy steps over all slots; returns the emitted
+        def pick_next(logits, temps, key):
+            """Per-slot next token: greedy where temps == 0, categorical
+            at logits/temp otherwise (one program, no recompiles —
+            jnp.where selects per row, so temp-0 slots stay exactly
+            deterministic)."""
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+            sampled = jax.random.categorical(key, scaled,
+                                             axis=-1).astype(jnp.int32)
+            return jnp.where(temps > 0, sampled, greedy)
+
+        def decode_chunk(params, qp, cache, tok0, pos0, active, done0,
+                         temps, key):
+            """``chunk`` decode steps over all slots; returns the emitted
             (B, chunk) tokens + updated state.  Inactive/done rows feed
             EOS and freeze their position."""
 
             def step(carry, _):
-                toks, pos, cache, done = carry
+                toks, pos, cache, done, key = carry
                 if self.qp is not None:
                     emb = self._q_embed(qp, toks[:, None])
                     hidden, cache = self._q_forward(
@@ -256,14 +269,16 @@ class BatchEngine:
                     logits, cache = model.apply(
                         {'params': params}, toks[:, None], cache,
                         pos[:, None], method=GromaModel.decode_step)
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                key, sub = jax.random.split(key)
+                nxt = pick_next(logits, temps, sub)
                 nxt = jnp.where(active & ~done, nxt, self.eos_id)
                 done = done | (nxt == self.eos_id) | ~active
                 pos = pos + (active & ~done).astype(jnp.int32)
-                return (nxt, pos, cache, done), nxt
+                return (nxt, pos, cache, done, key), nxt
 
-            (tokN, posN, cache, doneN), out = jax.lax.scan(
-                step, (tok0, pos0, cache, done0), None, length=self.chunk)
+            (tokN, posN, cache, doneN, _), out = jax.lax.scan(
+                step, (tok0, pos0, cache, done0, key), None,
+                length=self.chunk)
             return cache, jnp.swapaxes(out, 0, 1), tokN, posN, doneN
 
         self._kv_bits = kv_bits
@@ -277,9 +292,9 @@ class BatchEngine:
                                                        make_kv_page_pool)
 
             def decode_chunk_paged(qp, pools, tok0, pos0, active, done0,
-                                   table):
+                                   table, temps, key):
                 def step(carry, _):
-                    toks, pos, pools, done = carry
+                    toks, pos, pools, done, key = carry
                     live = active & ~done
                     emb = self._q_embed(qp, toks[:, None])
                     lengths = jnp.where(live, pos + 1, 0)
@@ -287,14 +302,15 @@ class BatchEngine:
                         qp, cfg.llm, emb, pos[:, None], pools, table,
                         lengths)
                     logits = self._q_logits(qp, hidden)[:, -1]
-                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    key, sub = jax.random.split(key)
+                    nxt = pick_next(logits, temps, sub)
                     nxt = jnp.where(live, nxt, self.eos_id)
                     done = done | (nxt == self.eos_id) | ~active
                     pos = pos + (active & ~done).astype(jnp.int32)
-                    return (nxt, pos, pools, done), nxt
+                    return (nxt, pos, pools, done, key), nxt
 
-                (tokN, posN, pools, doneN), out = jax.lax.scan(
-                    step, (tok0, pos0, pools, done0), None,
+                (tokN, posN, pools, doneN, _), out = jax.lax.scan(
+                    step, (tok0, pos0, pools, done0, key), None,
                     length=self.chunk)
                 return pools, jnp.swapaxes(out, 0, 1), tokN, posN, doneN
 
@@ -316,6 +332,9 @@ class BatchEngine:
         self._tok = jnp.full((max_slots,), eos_id, jnp.int32)
         self._pos = jnp.zeros((max_slots,), jnp.int32)
         self._active = np.zeros((max_slots,), bool)
+        self._temps = np.zeros((max_slots,), np.float32)
+        self._key = jax.random.PRNGKey(sample_seed)
+        self._host_rng = np.random.default_rng(sample_seed)
         self._done = jnp.ones((max_slots,), bool)
         self._sessions: list = [None] * max_slots
         self._emitted = np.zeros((max_slots,), np.int64)
@@ -344,7 +363,8 @@ class BatchEngine:
 
     def submit(self, image, input_ids, region_slot, base_valid,
                max_new_tokens: Optional[int] = None,
-               priority: int = 0) -> Session:
+               priority: int = 0,
+               temperature: float = 0.0) -> Session:
         """Enqueue one request (unbatched arrays); returns its Session.
 
         ``max_new_tokens`` caps THIS request's generation (bounded by the
@@ -353,10 +373,15 @@ class BatchEngine:
 
         ``priority``: higher admits first when slots are contended
         (FIFO within equal priority).  Already-seated requests are never
-        preempted — priority orders the waiting queue only."""
+        preempted — priority orders the waiting queue only.
+
+        ``temperature`` > 0 samples THIS stream's tokens from
+        logits/temperature (per-slot: temp-0 streams in the same batch
+        stay exactly greedy)."""
         sess = Session()
         sess.max_new = min(max_new_tokens or self.max_new_tokens,
                            self.max_new_tokens)
+        sess.temperature = float(temperature)
         self._queue.put((-priority, next(self._seq),
                          (sess, image, input_ids, region_slot, base_valid)))
         return sess
@@ -446,7 +471,17 @@ class BatchEngine:
         """Install one prefilled request (row ``row`` of ``one``) into
         engine ``slot`` and emit its first token."""
         vr = row if vis_row is None else vis_row
-        tok0 = int(jnp.argmax(row_logits))
+        temp = getattr(sess, 'temperature', 0.0)
+        if temp > 0:
+            # the first token is picked host-side at seat time; sample it
+            # with the same logits/temp law as the in-graph decode steps
+            lg = np.asarray(row_logits, np.float64) / temp
+            lg -= lg.max()
+            pz = np.exp(lg); pz /= pz.sum()
+            tok0 = int(self._host_rng.choice(len(pz), p=pz))
+        else:
+            tok0 = int(jnp.argmax(row_logits))
+        self._temps[slot] = temp
         sess.vis = jax.tree_util.tree_map(
             np.asarray, {'selected_boxes': vis['selected_boxes'][vr],
                          'selected_mask': vis['selected_mask'][vr]})
@@ -540,6 +575,7 @@ class BatchEngine:
             sess._q.put(None)
         self._sessions[slot] = None
         self._active[slot] = False
+        self._temps[slot] = 0.0
         if self.paged:
             # return the slot's pages and point its table at the trash
             # page: a frozen slot keeps writing its (masked) decode kv
@@ -582,16 +618,20 @@ class BatchEngine:
             if not self._active.any():
                 return
             active_j = jnp.asarray(self._active)
+            self._key, sub = jax.random.split(self._key)
             self._pools, out, self._tok, self._pos, self._done = \
                 self._decode_paged(self.qp, self._pools, self._tok,
                                    self._pos, active_j, self._done,
-                                   jnp.asarray(self._table_np))
+                                   jnp.asarray(self._table_np),
+                                   jnp.asarray(self._temps), sub)
             self._emit(out)
             return
         active_j = jnp.asarray(self._active)
+        self._key, sub = jax.random.split(self._key)
         self._cache, out, self._tok, self._pos, self._done = \
             self._decode_chunk(self.params, self.qp, self._cache,
-                               self._tok, self._pos, active_j, self._done)
+                               self._tok, self._pos, active_j, self._done,
+                               jnp.asarray(self._temps), sub)
         self._emit(out)
 
     def _emit(self, out):

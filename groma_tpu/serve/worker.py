@@ -184,17 +184,11 @@ class ModelWorker:
                     # continuous-batching path: tokens stream out as the
                     # engine's decode chunks land; concurrent requests
                     # interleave in the shared cache
-                    if float(request.get('temperature', 0.0)) > 0:
-                        # engine decoding is greedy; surface the mismatch
-                        # instead of silently ignoring the knob (the
-                        # non-engine bf16 path honors temperature)
-                        logger.warning(
-                            'engine mode decodes greedily; request '
-                            'temperature=%s ignored',
-                            request.get('temperature'))
                     sess = self.engine.submit(
                         image, t['input_ids'], t['region_slot'],
-                        t['valid'], max_new_tokens=max_new)
+                        t['valid'], max_new_tokens=max_new,
+                        temperature=float(request.get('temperature',
+                                                      0.0)))
                     n = 0
                     for tk in sess.token_stream():
                         if tk != eos:

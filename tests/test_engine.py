@@ -384,3 +384,43 @@ def test_session_cancel_frees_slot(rng):
         assert 1 <= len(got) <= 4 + 1
     finally:
         eng.close()
+
+
+def test_per_slot_temperature_sampling(rng):
+    """temp>0 streams sample; temp=0 streams in the SAME batch stay
+    exactly greedy (per-slot jnp.where selection, one program)."""
+    model = GromaModel(CFG)
+    tok, reqs = _requests(rng, 2)
+    img0 = jnp.asarray(reqs[0][0])[None]
+    params = model.init(
+        jax.random.PRNGKey(0), images=img0,
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+
+    gen = Generator(model, params, max_len=CFG.max_seq_len + MAX_NEW + 8)
+    want, _ = gen.generate(
+        jnp.asarray(reqs[0][0])[None], jnp.asarray(reqs[0][1])[None],
+        jnp.asarray(reqs[0][2])[None], jnp.asarray(reqs[0][3])[None],
+        max_new_tokens=MAX_NEW, eos_id=tok.sp.eos)
+    want = [int(x) for x in want[0]]
+
+    eng = BatchEngine(model, params, max_slots=2,
+                      max_len=CFG.max_seq_len + MAX_NEW + 8,
+                      eos_id=tok.sp.eos, chunk=2, max_new_tokens=MAX_NEW)
+    try:
+        s_greedy = eng.submit(*reqs[0])                      # temp 0
+        s_hot = eng.submit(*reqs[1], temperature=5.0)        # sampled
+        got_greedy = list(s_greedy.token_stream())
+        got_hot = list(s_hot.token_stream())
+    finally:
+        eng.close()
+
+    def trim(seq):
+        if tok.sp.eos in seq:
+            return seq[:seq.index(tok.sp.eos) + 1]
+        return seq[:MAX_NEW]
+    assert trim(got_greedy) == trim(want), (got_greedy, want)
+    assert 1 <= len(got_hot) <= MAX_NEW
+    V = CFG.llm.vocab_size + CFG.num_new_token
+    assert all(0 <= t < V for t in got_hot)
