@@ -28,6 +28,7 @@ from __future__ import annotations
 import itertools
 import queue
 import threading
+import time
 from typing import Optional
 
 import jax
@@ -49,6 +50,13 @@ class Session:
         self.cancelled = False     # client stop (e.g. stop-string hit)
         self.truncated = False     # paged mode: stream ended early
                                    # because the page pool ran dry
+        self.t_submit = time.time()
+        self.t_first: Optional[float] = None   # first-token wall clock
+
+    @property
+    def ttft(self) -> Optional[float]:
+        """Submit -> first-token latency (None until the first token)."""
+        return None if self.t_first is None else self.t_first - self.t_submit
 
     def cancel(self):
         """Client-side early stop (e.g. the worker matched a stop
@@ -343,6 +351,14 @@ class BatchEngine:
         # higher ``priority`` values admit first, FIFO within a class
         self._queue: queue.PriorityQueue = queue.PriorityQueue()
         self._seq = itertools.count()
+        # serving metrics (host counters; stats() snapshots them)
+        self._n_submitted = 0
+        self._n_finished = 0
+        self._n_truncated = 0
+        self._n_tokens = 0
+        self._ttft_sum = 0.0
+        self._ttft_n = 0
+        self._t_started = time.time()
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -382,9 +398,34 @@ class BatchEngine:
         sess.max_new = min(max_new_tokens or self.max_new_tokens,
                            self.max_new_tokens)
         sess.temperature = float(temperature)
+        self._n_submitted += 1
         self._queue.put((-priority, next(self._seq),
                          (sess, image, input_ids, region_slot, base_valid)))
         return sess
+
+    def stats(self) -> dict:
+        """Engine counters for observability (served through the
+        worker's /worker_get_status): admission/finish totals, live
+        occupancy, mean TTFT, aggregate decode throughput since start,
+        and (paged mode) page-pool headroom."""
+        out = {
+            'submitted': self._n_submitted,
+            'finished': self._n_finished,
+            'truncated': self._n_truncated,
+            'active_slots': int(self._active.sum()),
+            'max_slots': self.max_slots,
+            'waiting': self._queue.qsize(),
+            'tokens_emitted': self._n_tokens,
+            'tokens_per_sec': round(
+                self._n_tokens / max(time.time() - self._t_started, 1e-9),
+                2),
+            'mean_ttft_sec': round(self._ttft_sum / self._ttft_n, 4)
+            if self._ttft_n else None,
+        }
+        if self.paged:
+            out['free_pages'] = len(self._free_pages)
+            out['total_pages'] = self._num_pages - 1
+        return out
 
     def close(self):
         self._stop = True
@@ -516,6 +557,10 @@ class BatchEngine:
         self._active[slot] = True
         self._emitted[slot] = 1
         self._sessions[slot] = sess
+        sess.t_first = time.time()
+        self._ttft_sum += sess.t_first - sess.t_submit
+        self._ttft_n += 1
+        self._n_tokens += 1
         sess.tokens.append(tok0)
         sess._q.put(tok0)
         if tok0 == self.eos_id:
@@ -573,6 +618,9 @@ class BatchEngine:
             sess.truncated = sess.truncated or truncated
             sess.done = True
             sess._q.put(None)
+            self._n_finished += 1
+            if sess.truncated:
+                self._n_truncated += 1
         self._sessions[slot] = None
         self._active[slot] = False
         self._temps[slot] = 0.0
@@ -648,6 +696,7 @@ class BatchEngine:
                 sess.tokens.append(t)
                 sess._q.put(t)
                 self._emitted[slot] += 1
+                self._n_tokens += 1
                 hit_eos = t == self.eos_id
                 if hit_eos or self._emitted[slot] >= cap:
                     break

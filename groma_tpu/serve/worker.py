@@ -106,8 +106,12 @@ class ModelWorker:
     # ------------------------------------------------------- liveness
 
     def status(self) -> dict:
-        return {'model_names': [self.model_name], 'speed': 1,
-                'queue_length': self.queue_length}
+        out = {'model_names': [self.model_name], 'speed': 1,
+               'queue_length': self.queue_length}
+        if self.engine is not None:
+            # engine observability: TTFT, throughput, occupancy, pages
+            out['engine'] = self.engine.stats()
+        return out
 
     def _post(self, path: str, payload: dict):
         req = urllib.request.Request(

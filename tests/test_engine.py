@@ -424,3 +424,32 @@ def test_per_slot_temperature_sampling(rng):
     assert 1 <= len(got_hot) <= MAX_NEW
     V = CFG.llm.vocab_size + CFG.num_new_token
     assert all(0 <= t < V for t in got_hot)
+
+
+def test_engine_stats_counters(rng):
+    """stats() reflects admissions, finishes, tokens, and TTFT."""
+    model = GromaModel(CFG)
+    tok, reqs = _requests(rng, 2)
+    img0 = jnp.asarray(reqs[0][0])[None]
+    params = model.init(
+        jax.random.PRNGKey(0), images=img0,
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+    eng = BatchEngine(model, params, max_slots=2,
+                      max_len=CFG.max_seq_len + MAX_NEW + 8,
+                      eos_id=tok.sp.eos, chunk=2, max_new_tokens=MAX_NEW)
+    try:
+        s0 = eng.submit(*reqs[0])
+        s1 = eng.submit(*reqs[1])
+        t0 = list(s0.token_stream())
+        t1 = list(s1.token_stream())
+        st = eng.stats()
+    finally:
+        eng.close()
+    assert st['submitted'] == 2 and st['finished'] == 2
+    assert st['truncated'] == 0
+    assert st['tokens_emitted'] == len(t0) + len(t1)
+    assert st['mean_ttft_sec'] is not None and st['mean_ttft_sec'] > 0
+    assert s0.ttft is not None and s0.ttft > 0
+    assert st['tokens_per_sec'] > 0
