@@ -46,3 +46,40 @@ def test_export_load_generate_roundtrip(rng, tmp_path):
         jnp.asarray(t['valid'][None]),
         max_new_tokens=2, eos_id=tok.sp.eos)
     assert tokens.shape[0] == 1
+
+
+def test_hf_export_import_roundtrip(tmp_path):
+    """export_groma (flax -> reference state dict) is the exact inverse
+    of import_groma: the round trip reproduces every leaf bit-for-bit,
+    and the safetensors container reloads identically."""
+    from groma_tpu.checkpoint.hf_export import export_groma, save_safetensors
+    from groma_tpu.checkpoint.loader import import_groma
+
+    cfg = tiny_groma_config()
+    model = GromaModel(cfg)
+    batch = _dummy_batch(cfg)
+    params = model.init(jax.random.PRNGKey(0), **batch)['params']
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    sd = export_groma(params, cfg)
+    back = import_groma(sd, cfg)
+
+    flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(back)[0]
+    paths1 = {jax.tree_util.keystr(k) for k, _ in flat1}
+    paths2 = {jax.tree_util.keystr(k) for k, _ in flat2}
+    assert paths1 == paths2, (paths1 - paths2, paths2 - paths1)
+    vals2 = {jax.tree_util.keystr(k): v for k, v in flat2}
+    for k, v in flat1:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(vals2[ks]), err_msg=ks)
+
+    # safetensors container round trip
+    from safetensors.numpy import load_file
+    path = str(tmp_path / 'groma.safetensors')
+    save_safetensors(sd, path)
+    sd2 = load_file(path)
+    assert set(sd2) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(sd[k], sd2[k], err_msg=k)
