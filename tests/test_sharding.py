@@ -142,3 +142,60 @@ def test_discover_launch_env_precedence():
                                'JAX_PROCESS_ID': '1'})
     assert got == {'coordinator_address': 'h:9', 'num_processes': 2,
                    'process_id': 1}
+
+
+def test_engine_serves_tp_sharded_params(rng):
+    """Mesh-sharded SERVING: BatchEngine fed (fsdp, tp)-sharded params
+    produces the same greedy tokens as the single-device Generator —
+    GSPMD propagates the input shardings through the engine's prefill /
+    insert / chunked-decode programs (which run on a background thread,
+    outside any mesh context: shardings ride on the arrays)."""
+    from groma_tpu.config import tiny_groma_config
+    from groma_tpu.data.datasets.base import VLDataSpec
+    from groma_tpu.data.tokenizer import StubTokenizer
+    from groma_tpu.eval.generate import Generator
+    from groma_tpu.eval.rec import build_rec_prompt
+    from groma_tpu.models.groma import GromaModel
+    from groma_tpu.serve.engine import BatchEngine
+
+    cfg = tiny_groma_config()
+    spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
+                      max_region_num=cfg.max_region_num,
+                      max_seq_len=cfg.max_seq_len,
+                      image_size=cfg.perceiver.image_size)
+    tok = StubTokenizer(base_vocab=cfg.llm.vocab_size)
+    model = GromaModel(cfg)
+    t = build_rec_prompt('a thing', tok, spec)
+    img = rng.standard_normal(
+        (cfg.perceiver.image_size,) * 2 + (3,)).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), images=jnp.asarray(img)[None],
+        input_ids=jnp.asarray(t['input_ids'])[None],
+        region_slot=jnp.asarray(t['region_slot'])[None],
+        base_valid=jnp.asarray(t['valid'])[None])['params']
+
+    MAX_NEW = 5
+    gen = Generator(model, params, max_len=cfg.max_seq_len + MAX_NEW + 8)
+    want, _ = gen.generate(
+        jnp.asarray(img)[None], jnp.asarray(t['input_ids'])[None],
+        jnp.asarray(t['region_slot'])[None], jnp.asarray(t['valid'])[None],
+        max_new_tokens=MAX_NEW, eos_id=tok.sp.eos)
+    want = [int(x) for x in want[0]]
+
+    mesh = make_mesh(dp=1, fsdp=2, tp=2, devices=jax.devices()[:4])
+    with mesh:
+        sp = shard_params(params, mesh, fsdp_min_size=2 ** 10)
+    eng = BatchEngine(model, sp, max_slots=2,
+                      max_len=cfg.max_seq_len + MAX_NEW + 8,
+                      eos_id=tok.sp.eos, chunk=2, max_new_tokens=MAX_NEW)
+    try:
+        s0 = eng.submit(img, t['input_ids'], t['region_slot'], t['valid'])
+        got = list(s0.token_stream())
+    finally:
+        eng.close()
+
+    def trim(seq):
+        if tok.sp.eos in seq:
+            return seq[:seq.index(tok.sp.eos) + 1]
+        return seq[:MAX_NEW]
+    assert trim(got) == trim(want), (got, want)
