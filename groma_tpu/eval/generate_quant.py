@@ -49,10 +49,17 @@ class QuantGenerator:
 
     def __init__(self, model: GromaModel, params, qp, max_len: int = 2048,
                  kv_bits: int = 16, use_flash: bool = False,
-                 w8a8_prefill: bool = False):
+                 w8a8_prefill: bool = False, spec_lookahead: int = 0,
+                 spec_ngram: int = 2):
+        """``spec_lookahead=G`` > 0 switches b=1 greedy decoding to
+        prompt-lookup speculative decoding (eval/speculative.py): one
+        (1, G+1) verify forward per accepted run — exact greedy
+        semantics, up to (G+1)x fewer weight streams."""
         self.model = model
         cfg = model.cfg
         self.cfg = cfg
+        self.spec_lookahead = spec_lookahead
+        self.spec_ngram = spec_ngram
         sp_base = cfg.llm.vocab_size
 
         def logits_fn(qp, hidden):
@@ -118,6 +125,11 @@ class QuantGenerator:
         self._prefill = jax.jit(prefill)
         self._decode_scan = jax.jit(decode_scan, donate_argnums=(2,),
                                     static_argnames=('n_steps', 'eos_id'))
+        if spec_lookahead > 0:
+            from groma_tpu.eval.speculative import make_verify_step
+            self._verify = make_verify_step(cfg.llm, embed_fn, logits_fn,
+                                            spec_lookahead)
+        self.spec_stats = None        # last generate()'s acceptance info
 
     def generate(self, images, input_ids, region_slot, base_valid,
                  refer_boxes=None, refer_valid=None,
@@ -129,9 +141,22 @@ class QuantGenerator:
         logits, cache, vis, next_pos = self._prefill(
             self.params, self.qp, images, input_ids, region_slot,
             base_valid, refer_boxes, refer_valid)
-        toks = np.asarray(self._decode_scan(self.qp, logits, cache,
-                                            next_pos, max_new_tokens,
-                                            eos_id))
+        if self.spec_lookahead > 0:
+            assert b == 1, 'speculative decoding is single-stream'
+            from groma_tpu.eval.speculative import speculative_greedy_decode
+            cur = int(jnp.argmax(logits[0]))
+            ctx = [int(t) for t, v in
+                   zip(np.asarray(input_ids[0]), np.asarray(base_valid[0]))
+                   if v]
+            row, self.spec_stats = speculative_greedy_decode(
+                self._verify, self.qp, cache, cur, int(next_pos[0, 0]),
+                ctx, max_new_tokens, eos_id, self.spec_lookahead,
+                self.spec_ngram)
+            toks = np.asarray([row], np.int32)
+        else:
+            toks = np.asarray(self._decode_scan(self.qp, logits, cache,
+                                                next_pos, max_new_tokens,
+                                                eos_id))
         out = []
         for row in toks:
             stop = np.nonzero(row == eos_id)[0]

@@ -45,6 +45,10 @@ def main():
                     choices=['none', 'bf16', 'int8', 'int4'])
     ap.add_argument('--kv-bits', type=int, default=16, choices=[16, 8],
                     help='8 = int8 KV cache (quantized paths only)')
+    ap.add_argument('--spec-lookahead', type=int, default=0,
+                    help='>0: prompt-lookup speculative decoding with G '
+                         'draft tokens per verify (exact greedy; '
+                         'quantized/bf16-tree paths)')
     ap.add_argument('--max-new-tokens', type=int, default=1024)
     ap.add_argument('--output-image', default='output.jpg')
     args = ap.parse_args()
@@ -101,7 +105,8 @@ def main():
             bits={'bf16': 16, 'int8': 8, 'int4': 4}[args.quant_type])
         gen = QuantGenerator(model, params, qp,
                              max_len=cfg.max_seq_len + 64,
-                             kv_bits=args.kv_bits)
+                             kv_bits=args.kv_bits,
+                             spec_lookahead=args.spec_lookahead)
     else:
         gen = Generator(model, params, max_len=cfg.max_seq_len + 64)
     tokens, vis = gen.generate(
