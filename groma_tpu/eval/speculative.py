@@ -94,7 +94,8 @@ def make_verify_step(cfg_llm, embed_fn, logits_fn, G: int):
 
 def speculative_greedy_decode(verify, qp, cache, cur: int, pos0: int,
                               context: List[int], max_new: int,
-                              eos_id: int, G: int, ngram: int = 2):
+                              eos_id: int, G: int, ngram: int = 2,
+                              proposer=None):
     """Host loop: propose -> verify -> accept until max_new/EOS.
 
     ``context`` seeds the lookup with the prompt's (valid) token ids;
@@ -106,9 +107,9 @@ def speculative_greedy_decode(verify, qp, cache, cur: int, pos0: int,
     cur_j = jnp.asarray([cur], jnp.int32)
     pos_j = jnp.asarray([pos0], jnp.int32)
     accepts: List[int] = []
+    proposer = proposer or propose_prompt_lookup
     while len(out) < max_new and out[-1] != eos_id:
-        draft = jnp.asarray(propose_prompt_lookup(context, G, ngram),
-                            jnp.int32)
+        draft = jnp.asarray(proposer(context, G, ngram), jnp.int32)
         cache, emitted, n_acc, cur_j, pos_j = verify(
             qp, cache, cur_j, draft, pos_j)
         n_acc = int(n_acc)
