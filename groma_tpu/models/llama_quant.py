@@ -206,11 +206,17 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
 
     vector_index = cache is not None and jnp.ndim(cache['index']) == 1
     kv_mask = attn_mask
-    if vector_index:
-        # per-row positions (continuous-batching engine); s must be 1
-        assert s == 1, 'vector cache index requires single-token decode'
+    if vector_index and s == 1:
+        # per-row positions (continuous-batching engine)
         kv_mask = cache['mask'].at[jnp.arange(b), cache['index']].set(
             attn_mask[:, 0])
+    elif vector_index:
+        # per-row MULTI-token append (engine speculative verify): row b
+        # writes its s tokens at cache slots index[b] .. index[b]+s-1
+        assert chunked, 'vector-index multi-token calls must be chunked'
+        wpos = cache['index'][:, None] + jnp.arange(s)[None]   # (B, s)
+        kv_mask = cache['mask'].at[
+            jnp.arange(b)[:, None], wpos].set(attn_mask[:, :s])
     elif cache is not None:
         kv_mask = jax.lax.dynamic_update_slice(
             cache['mask'], attn_mask[:, :s], (0, cache['index']))
@@ -246,8 +252,10 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
         qi = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 0)
         kj = jax.lax.broadcasted_iota(jnp.int32, (s, skv), 1)
         if vector_index:
-            # per-row positions: (B, 1, skv), s == 1
-            causal_ok = kj[None] <= cache_index[:, None, None]
+            # per-row positions: (B, s, skv); row b's query j may see
+            # cache slots <= index[b] + j (reduces to the decode case
+            # at s == 1 where qi == 0)
+            causal_ok = kj[None] <= qi[None] + cache_index[:, None, None]
         else:
             causal_ok = kj <= qi + cache_index
         amask = kv_mask
@@ -270,7 +278,7 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
         k = apply_rope(k.astype(dtype), cos, sin)
         v = v.astype(dtype)
 
-        if quant_kv and vector_index:
+        if quant_kv and vector_index and s == 1:
             kq8, ksc = _quantize_tokens(k)
             vq8, vsc = _quantize_tokens(v)
             bidx = jnp.arange(b)
@@ -279,6 +287,20 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
             cv[i] = cv[i].at[bidx, :, idx, :].set(vq8[:, :, 0, :])
             cks[i] = cks[i].at[bidx, :, idx].set(ksc[:, :, 0])
             cvs[i] = cvs[i].at[bidx, :, idx].set(vsc[:, :, 0])
+        elif quant_kv and vector_index:
+            # per-row multi-token append (engine speculative verify):
+            # scatter row b's s tokens at slots index[b]..index[b]+s-1
+            kq8, ksc = _quantize_tokens(k)
+            vq8, vsc = _quantize_tokens(v)
+            bidx = jnp.arange(b)[:, None]                      # (B, 1)
+            wpos = cache_index[:, None] + jnp.arange(s)[None]  # (B, s)
+            # advanced indexing at axes (0, 2) selects (B, s, H, .)
+            ck[i] = ck[i].at[bidx, :, wpos, :].set(
+                kq8.transpose(0, 2, 1, 3))
+            cv[i] = cv[i].at[bidx, :, wpos, :].set(
+                vq8.transpose(0, 2, 1, 3))
+            cks[i] = cks[i].at[bidx, :, wpos].set(ksc.transpose(0, 2, 1))
+            cvs[i] = cvs[i].at[bidx, :, wpos].set(vsc.transpose(0, 2, 1))
         elif quant_kv:
             # int8 KV: quantize this step's keys/values per (b, head,
             # position) and update this layer's int8 + scale leaves
@@ -292,13 +314,20 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
                 cks[i], ksc, (0, 0, cache_index))
             cvs[i] = jax.lax.dynamic_update_slice(
                 cvs[i], vsc, (0, 0, cache_index))
-        elif cache is not None and vector_index:
+        elif cache is not None and vector_index and s == 1:
             bidx = jnp.arange(b)
             idx = cache_index
             ck[i] = ck[i].at[bidx, :, idx, :].set(
                 k[:, :, 0, :].astype(ck[i].dtype))
             cv[i] = cv[i].at[bidx, :, idx, :].set(
                 v[:, :, 0, :].astype(cv[i].dtype))
+        elif cache is not None and vector_index:
+            bidx = jnp.arange(b)[:, None]
+            wpos = cache_index[:, None] + jnp.arange(s)[None]
+            ck[i] = ck[i].at[bidx, :, wpos, :].set(
+                k.transpose(0, 2, 1, 3).astype(ck[i].dtype))
+            cv[i] = cv[i].at[bidx, :, wpos, :].set(
+                v.transpose(0, 2, 1, 3).astype(cv[i].dtype))
         elif cache is not None:
             # tiny in-place update on this layer's own (B, H, S, D) leaf —
             # per-layer leaves alias cleanly inside scanned decode loops

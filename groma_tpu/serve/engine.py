@@ -87,7 +87,8 @@ class BatchEngine:
                  admit_batch: int = 1, w8a8_prefill: bool = False,
                  paged_kv: bool = False,
                  kv_pool_tokens: Optional[int] = None,
-                 sample_seed: int = 0):
+                 sample_seed: int = 0, spec_lookahead: int = 0,
+                 spec_ngram: int = 2):
         """``prefill_chunk_tokens`` (quantized path only) enables CHUNKED
         PREFILL: a new request's prompt is prefilled in fixed-size token
         chunks with a decode burst for the active slots between chunks,
@@ -146,6 +147,17 @@ class BatchEngine:
             self._free_pages = list(range(self._num_pages - 1, 0, -1))
             self._slot_pages = [[] for _ in range(max_slots)]
             self._table_np = np.zeros((max_slots, self._np_max), np.int32)
+        self.spec_lookahead = spec_lookahead
+        self.spec_ngram = spec_ngram
+        if spec_lookahead > 0:
+            if qp is None:
+                raise ValueError('engine speculative decoding requires a '
+                                 'quantized/bf16 tree (qp)')
+            if paged_kv:
+                raise ValueError('speculative decoding excludes paged_kv')
+            # speculation writes up to G tokens past the live stream —
+            # keep the scatter in bounds at the cap
+            self.max_len = -(-(self.max_len + spec_lookahead) // 128) * 128
         # admit_batch > 1 compiles a SECOND prefill program at b=K and
         # admits up to K queued requests per call — b=1 vision+prefill is
         # the serving bottleneck for short-answer workloads (REC), and a
@@ -294,6 +306,61 @@ class BatchEngine:
         self._insert = jax.jit(insert, donate_argnums=(0,))
         self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(2,))
 
+        if spec_lookahead > 0:
+            G = spec_lookahead
+
+            def verify_chunk(qp, cache, tok0, drafts, pos0, active, done0):
+                """One (B, G+1) speculative verify over all slots:
+                per-row multi-token append (vector cache index), greedy
+                verification, per-row accept counts, and an exact
+                per-row cache rewind of the rejected writes."""
+                nb = tok0.shape[0]
+                toks = jnp.concatenate([tok0[:, None], drafts], axis=1)
+                emb = self._q_embed(qp, toks)
+                positions = pos0[:, None] + jnp.arange(G + 1)[None]
+                index0 = cache['index']
+                hidden, cache = self._q_forward(
+                    qp, cfg.llm, emb, jnp.ones((nb, G + 1), bool),
+                    positions, cache, chunked=True)
+                logits = self._q_logits(qp, hidden)
+                greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+                live = active & ~done0
+                match = (greedy[:, :-1] == drafts).astype(jnp.int32)
+                n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+                ar = jnp.arange(G + 1)[None]
+                emitted = jnp.where(ar <= n_acc[:, None], greedy,
+                                    self.eos_id)
+                emitted = jnp.where(live[:, None], emitted, self.eos_id)
+                # eos WITHIN the accepted run ends the row there (the
+                # pad positions beyond n_acc are eos too — exclude them
+                # from the done test)
+                is_eos = (greedy == self.eos_id) & (ar <= n_acc[:, None])
+                first_eos = jnp.argmax(is_eos, axis=1)
+                has_eos = jnp.any(is_eos, axis=1) & live
+                counts = jnp.where(live, n_acc + 1, 0)
+                counts = jnp.where(has_eos,
+                                   jnp.minimum(counts, first_eos + 1),
+                                   counts)
+                # rewind: keep [cur, d_1..d_a] for live rows, nothing
+                # for frozen rows (their masked writes fully reverted)
+                keep = index0 + jnp.where(live, 1 + n_acc, 0)
+                wrote_end = index0 + G + 1
+                iota = jnp.arange(cache['mask'].shape[1])[None]
+                cache = {**cache,
+                         'mask': jnp.where(
+                             (iota >= keep[:, None])
+                             & (iota < wrote_end[:, None]),
+                             False, cache['mask']),
+                         'index': keep}
+                tokN = jnp.where(live, greedy[jnp.arange(nb), n_acc],
+                                 tok0)
+                doneN = done0 | has_eos | ~active
+                posN = jnp.where(live, pos0 + n_acc + 1, pos0)
+                return cache, emitted, counts, tokN, posN, doneN
+
+            self._verify_chunk = jax.jit(verify_chunk,
+                                         donate_argnums=(1,))
+
         if paged_kv:
             from groma_tpu.models.llama_quant import quant_llama_decode_paged
             from groma_tpu.ops.paged_attention import (insert_prefill_pages,
@@ -398,6 +465,13 @@ class BatchEngine:
         sess.max_new = min(max_new_tokens or self.max_new_tokens,
                            self.max_new_tokens)
         sess.temperature = float(temperature)
+        if self.spec_lookahead > 0:
+            if sess.temperature > 0:
+                raise ValueError('speculative decoding verifies greedily; '
+                                 'temperature sampling is unsupported')
+            ids_np = np.asarray(input_ids).reshape(-1)
+            val_np = np.asarray(base_valid).reshape(-1)
+            sess._ctx = [int(t) for t, v in zip(ids_np, val_np) if v]
         self._n_submitted += 1
         self._queue.put((-priority, next(self._seq),
                          (sess, image, input_ids, region_slot, base_valid)))
@@ -557,6 +631,8 @@ class BatchEngine:
         self._active[slot] = True
         self._emitted[slot] = 1
         self._sessions[slot] = sess
+        if self.spec_lookahead > 0:
+            sess._ctx.append(tok0)
         sess.t_first = time.time()
         self._ttft_sum += sess.t_first - sess.t_submit
         self._ttft_n += 1
@@ -682,7 +758,9 @@ class BatchEngine:
                                jnp.asarray(self._temps), sub)
         self._emit(out)
 
-    def _emit(self, out):
+    def _emit(self, out, counts=None):
+        """``counts`` (spec mode): per-slot number of valid tokens in
+        ``out`` this burst (sequential bursts emit every column)."""
         out_np = np.asarray(out)
         done_np = np.asarray(self._done)
         for slot in range(self.max_slots):
@@ -691,10 +769,15 @@ class BatchEngine:
             sess = self._sessions[slot]
             cap = getattr(sess, 'max_new', self.max_new_tokens)
             hit_eos = False
-            for t in out_np[slot]:
+            row = out_np[slot]
+            if counts is not None:
+                row = row[:counts[slot]]
+            for t in row:
                 t = int(t)
                 sess.tokens.append(t)
                 sess._q.put(t)
+                if self.spec_lookahead > 0:
+                    sess._ctx.append(t)
                 self._emitted[slot] += 1
                 self._n_tokens += 1
                 hit_eos = t == self.eos_id

@@ -31,7 +31,8 @@ class ModelWorker:
                  controller_addr: str = '', use_engine: bool = False,
                  engine_slots: int = 4, quant_type: str = 'none',
                  kv_bits: int = 16, prefill_chunk: int = 0,
-                 paged_kv: bool = False, kv_pool_tokens: int = 0):
+                 paged_kv: bool = False, kv_pool_tokens: int = 0,
+                 spec_lookahead: int = 0):
         from groma_tpu.checkpoint.loader import load_groma
         from groma_tpu.data.tokenizer import load_tokenizer
         from groma_tpu.data.datasets.base import VLDataSpec
@@ -80,7 +81,8 @@ class ModelWorker:
                 kv_bits=kv_bits if qp is not None else 16,
                 prefill_chunk_tokens=prefill_chunk or None,
                 paged_kv=paged_kv,
-                kv_pool_tokens=kv_pool_tokens or None)
+                kv_pool_tokens=kv_pool_tokens or None,
+                spec_lookahead=spec_lookahead)
             limit = max(limit, engine_slots)
         if use_engine:
             self.generator = None
@@ -299,6 +301,10 @@ def main():
     ap.add_argument('--prefill-chunk', type=int, default=0,
                     help='engine chunked prefill: interleave N-token '
                          'prompt chunks with decode bursts (0 = one-shot)')
+    ap.add_argument('--spec-lookahead', type=int, default=0,
+                    help='engine speculative decoding: G prompt-lookup '
+                         'draft tokens per batched verify (greedy-only, '
+                         'contiguous KV)')
     ap.add_argument('--paged-kv', action='store_true',
                     help='shared 128-token KV page pool (engine + '
                          'quant_type + --kv-bits 8): per-request HBM '
@@ -319,6 +325,7 @@ def main():
                          controller_addr=a.controller_address,
                          use_engine=a.engine, engine_slots=a.engine_slots,
                          quant_type=a.quant_type, kv_bits=a.kv_bits,
+                         spec_lookahead=a.spec_lookahead,
                          prefill_chunk=a.prefill_chunk,
                          paged_kv=a.paged_kv,
                          kv_pool_tokens=a.kv_pool_tokens)

@@ -207,3 +207,64 @@ def test_bf16_tree_matches_flax(rng):
                                         cache)
         np.testing.assert_allclose(np.asarray(ht[:, 0]),
                                    np.asarray(full_h[:, t]), atol=1e-4)
+
+
+def test_vector_index_multitoken_append(rng):
+    """Per-row multi-token append (engine speculative verify): rows with
+    DIFFERENT cache indices appending s>1 tokens match the scalar
+    chunked append run row by row — bf16/f32 and int8 KV caches."""
+    from groma_tpu.models.llama_quant import make_quant_kv_cache
+
+    model, params, qp, ids = _setup(rng)
+    S, MAXLEN, G = 6, 16, 3
+    emb_all = qp['embed_tokens'][
+        jnp.asarray(rng.integers(0, 128, (2, S + G)))].astype(jnp.float32)
+    lens = [4, 6]                     # row 0 shorter prefix than row 1
+
+    for kv8 in (False, True):
+        def fresh(b):
+            return make_quant_kv_cache(CFG, b, MAXLEN) if kv8 \
+                else make_kv_cache(CFG, b, MAXLEN, dtype=jnp.float32)
+
+        # reference: each row alone through scalar chunked appends
+        want = []
+        for r, L in enumerate(lens):
+            cache = fresh(1)
+            pos = jnp.arange(L)[None]
+            _, cache = quant_llama_forward(
+                qp, CFG, emb_all[r:r + 1, :L], jnp.ones((1, L), bool),
+                pos, cache)
+            h, _ = quant_llama_forward(
+                qp, CFG, emb_all[r:r + 1, L:L + G],
+                jnp.ones((1, G), bool),
+                L + jnp.arange(G)[None], cache, chunked=True)
+            want.append(np.asarray(h[0]))
+
+        # batched: prefill both rows to DIFFERENT lengths (pad row 0),
+        # then one vector-index multi-token append
+        cache = fresh(2)
+        maxL = max(lens)
+        valid = np.zeros((2, maxL), bool)
+        for r, L in enumerate(lens):
+            valid[r, :L] = True
+        pos = np.maximum(np.cumsum(valid, -1) - 1, 0)
+        _, cache = quant_llama_forward(
+            qp, CFG, emb_all[:, :maxL], jnp.asarray(valid),
+            jnp.asarray(pos), cache)
+        # rewind to per-row lengths: vector index + per-row mask
+        iota = np.arange(MAXLEN)[None]
+        mask = np.asarray(cache['mask'])
+        mask = np.where(iota < np.asarray(lens)[:, None], mask, False)
+        cache = {**cache, 'index': jnp.asarray(lens, jnp.int32),
+                 'mask': jnp.asarray(mask)}
+        embG = jnp.stack([emb_all[r, L:L + G] for r, L in enumerate(lens)])
+        posG = jnp.asarray(np.asarray(lens)[:, None] + np.arange(G)[None])
+        h, cache2 = quant_llama_forward(
+            qp, CFG, embG, jnp.ones((2, G), bool), posG, cache,
+            chunked=True)
+        for r in range(2):
+            np.testing.assert_allclose(np.asarray(h[r]), want[r],
+                                       atol=2e-4 if not kv8 else 0.05,
+                                       rtol=1e-4 if not kv8 else 0.05,
+                                       err_msg=f'row {r} kv8={kv8}')
+        assert list(np.asarray(cache2['index'])) == [li + G for li in lens]

@@ -88,3 +88,79 @@ def test_speculative_int8_weights(rng):
         max_new_tokens=6, eos_id=tok.sp.eos)
     assert _trim(got[0], tok.sp.eos) == _trim(want[0], tok.sp.eos), \
         (got, want, spc.spec_stats)
+
+
+def test_engine_speculative_matches_sequential(rng):
+    """Engine spec mode: batched (B, G+1) verify with per-row accepts
+    and rewinds reproduces the sequential engine's greedy tokens for
+    concurrent streams, including one admitted mid-decode."""
+    import time as _time
+
+    from groma_tpu.serve.engine import BatchEngine
+
+    tok = StubTokenizer(base_vocab=CFG.llm.vocab_size)
+    model = GromaModel(CFG)
+    reqs = []
+    for i in range(3):
+        t = build_rec_prompt(f'thing {i}', tok, SPEC)
+        img = rng.standard_normal(
+            (CFG.perceiver.image_size,) * 2 + (3,)).astype(np.float32)
+        reqs.append((img, t['input_ids'], t['region_slot'], t['valid']))
+    params = model.init(
+        jax.random.PRNGKey(0), images=jnp.asarray(reqs[0][0])[None],
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+    qp = quantize_groma_llm(params, CFG, bits=16)
+    MAX_NEW = 7
+
+    def run(spec):
+        eng = BatchEngine(model, params, max_slots=2,
+                          max_len=CFG.max_seq_len + MAX_NEW + 8,
+                          eos_id=tok.sp.eos, chunk=2,
+                          max_new_tokens=MAX_NEW, qp=qp,
+                          spec_lookahead=spec)
+        try:
+            s0 = eng.submit(*reqs[0])
+            s1 = eng.submit(*reqs[1])
+            _time.sleep(0.5)
+            s2 = eng.submit(*reqs[2])       # waits for a free slot
+            return [list(s.token_stream()) for s in (s0, s1, s2)]
+        finally:
+            eng.close()
+
+    want = run(0)
+    got = run(3)
+
+    def trim(seq):
+        if tok.sp.eos in seq:
+            return seq[:seq.index(tok.sp.eos) + 1]
+        return seq[:MAX_NEW]
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert trim(g) == trim(w), (i, g, w)
+
+
+def test_engine_speculative_rejects_sampling(rng):
+    from groma_tpu.serve.engine import BatchEngine
+    import pytest
+
+    tok = StubTokenizer(base_vocab=CFG.llm.vocab_size)
+    model = GromaModel(CFG)
+    t = build_rec_prompt('x', tok, SPEC)
+    img = rng.standard_normal(
+        (CFG.perceiver.image_size,) * 2 + (3,)).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), images=jnp.asarray(img)[None],
+        input_ids=jnp.asarray(t['input_ids'])[None],
+        region_slot=jnp.asarray(t['region_slot'])[None],
+        base_valid=jnp.asarray(t['valid'])[None])['params']
+    qp = quantize_groma_llm(params, CFG, bits=16)
+    eng = BatchEngine(model, params, max_slots=1, eos_id=tok.sp.eos,
+                      max_len=CFG.max_seq_len + 16, qp=qp,
+                      spec_lookahead=2)
+    try:
+        with pytest.raises(ValueError):
+            eng.submit(img, t['input_ids'], t['region_slot'], t['valid'],
+                       temperature=0.7)
+    finally:
+        eng.close()
