@@ -89,12 +89,13 @@ qp['extra_lm_head'] = jnp.asarray(
 qp = jax.jit(lambda x: x)(qp)
 
 
-def drive(prefill_chunk, admit_batch=1, paged=False):
+def drive(prefill_chunk, admit_batch=1, paged=False, spec=0):
     eng = BatchEngine(model, params, max_slots=SLOTS,
                       max_len=seq_len + MAXNEW + 8, eos_id=-1,
                       chunk=CHUNK, max_new_tokens=MAXNEW, qp=qp,
                       kv_bits=8, prefill_chunk_tokens=prefill_chunk,
-                      admit_batch=admit_batch, paged_kv=paged)
+                      admit_batch=admit_batch, paged_kv=paged,
+                      spec_lookahead=spec)
     try:
         # warmup: compile every program — enough simultaneous requests
         # to trigger the batched-admission prefill too
@@ -137,9 +138,11 @@ def drive(prefill_chunk, admit_batch=1, paged=False):
         for a, b in zip([v[1]] + bursts, bursts):
             worst = max(worst, b - a)
     mode = f'chunked({prefill_chunk})' if prefill_chunk else (
-        f'one-shot admit_batch={admit_batch}' + (' paged' if paged else ''))
+        f'one-shot admit_batch={admit_batch}'
+        + (' paged' if paged else '') + (f' spec{spec}' if spec else ''))
     tag = ('chunked' if prefill_chunk
-           else ('paged' if paged else f'oneshot_ab{admit_batch}'))
+           else (f'spec{spec}' if spec
+                 else ('paged' if paged else f'oneshot_ab{admit_batch}')))
     if LONG:
         tag += '_long'
     print(json.dumps({
@@ -167,3 +170,7 @@ else:
     drive(0, admit_batch=4)
     drive(PCHUNK)
     drive(0, paged=True)
+    # batched speculative verify (prompt-lookup): synthetic weights give
+    # near-constant greedy streams -> high acceptance, the optimistic
+    # bound; real-weight acceptance depends on prompt echo
+    drive(0, spec=8)
