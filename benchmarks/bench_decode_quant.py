@@ -88,9 +88,11 @@ def main(which='driver'):
             '(continuous-batching aggregate, serve/engine.py)')
     del qp8
     qp4 = mk_llama_quant_params(cfg, bits=4)
-    measure(qp4, 1, False, 'llama7b_int4_decode_tok_per_sec')
+    # peak serving config FIRST: if the driver budget kills this process
+    # mid-run, the salvaged prefix keeps the headline serving number
     measure(qp4, 8, True, 'llama7b_int4_kv8_batch8_decode_tok_per_sec',
             '(peak serving config)')
+    measure(qp4, 1, False, 'llama7b_int4_decode_tok_per_sec')
     if which == 'all':
         del qp4
         # bf16 fused-stream tree (bits=16): full-precision single-stream
