@@ -66,9 +66,11 @@ def _run_sub(script, args=(), budget=420, min_needed=90):
     import tempfile
     with tempfile.TemporaryFile(mode='w+') as fout, \
             tempfile.TemporaryFile(mode='w+') as ferr:
+        # -u: children run unbuffered so a timeout kill never loses
+        # metric lines sitting in a block buffer (ADVICE r3, medium)
         proc = subprocess.Popen(
-            [sys.executable, os.path.join(HERE, 'benchmarks', script),
-             *args],
+            [sys.executable, '-u',
+             os.path.join(HERE, 'benchmarks', script), *args],
             stdout=fout, stderr=ferr, text=True)
         try:
             rc = proc.wait(timeout=timeout)
@@ -79,9 +81,12 @@ def _run_sub(script, args=(), budget=420, min_needed=90):
         fout.seek(0)
         _forward(fout.read())
         if rc is None:
+            ferr.seek(0)
+            err = ferr.read().strip().splitlines()
             print(f'# {script} timed out after {timeout:.0f}s '
-                  f'({len(got)} metrics salvaged)', file=sys.stderr,
-                  flush=True)
+                  f'({len(got)} metrics salvaged); last stderr: '
+                  f'{" | ".join(l[:120] for l in err[-3:])}',
+                  file=sys.stderr, flush=True)
         elif rc != 0:
             ferr.seek(0)
             err = ferr.read().strip().splitlines()
@@ -93,36 +98,49 @@ def _run_sub(script, args=(), budget=420, min_needed=90):
 
 
 def main():
+    families = {}   # family name -> metric count (for the MISSING report)
+
+    def run(family, script, args=(), **kw):
+        got = _run_sub(script, args, **kw)
+        families[family] = families.get(family, 0) + len(got)
+        return got
+
     # 1. the headline FIRST: vision->region-tokens img/s (driver metric)
-    vision = _run_sub('bench_vision.py', budget=330, min_needed=0)
+    vision = run('vision', 'bench_vision.py', budget=330, min_needed=0)
     headline = next((d for d in vision
                      if d['metric'] == 'vision_proposer_images_per_sec'),
                     None)
-    # 2. end-to-end REC inference (round-3 note: a transient tunnel slow
+    # 2. quantized decode EARLY — the family lost in r01/r02/r03 three
+    #    different ways.  Driver set is 2 variants at STEPS=128 (~150 s
+    #    warm); 420 s covers a cold tunnel-side compile of both.
+    run('decode', 'bench_decode_quant.py', budget=420)
+    # 3. end-to-end REC inference (round-3 note: a transient tunnel slow
     #    compile blew a 200 s budget in the r03 driver run even though
-    #    the warm-cache runtime is ~50 s — keep 330 s and run it EARLY)
-    _run_sub('bench_e2e.py', budget=330)
-    # 3. training (vl MFU depth series + det step)
-    _run_sub('bench_train.py', budget=330)
-    # 4. quantized decode (int8/int4, B=1 and B=8 serving aggregate).
-    #    ~360 s measured warm (tunnel-side compiles only partially cache);
-    #    a timeout still salvages the variants that already printed
-    _run_sub('bench_decode_quant.py', budget=420)
+    #    the warm-cache runtime is ~50 s — keep 330 s)
+    run('e2e', 'bench_e2e.py', budget=330)
+    # 4. training (vl MFU depth series + det step)
+    run('train', 'bench_train.py', budget=330)
     # 5. opt-in fast-path extensions, only if budget remains: int8 vision
     #    convs and the w8a8+int8vision e2e configuration
-    _run_sub('bench_vision.py', ['--int8'], budget=240, min_needed=180)
-    _run_sub('bench_e2e.py', ['--w8a8', '--int8vision'], budget=240,
-             min_needed=180)
+    run('vision_int8', 'bench_vision.py', ['--int8'], budget=240,
+        min_needed=180)
+    run('e2e_int8', 'bench_e2e.py', ['--w8a8', '--int8vision'],
+        budget=240, min_needed=180)
     # 6. if the cold first attempt lost the headline (the vision compile
     #    can exceed its budget on an empty compile cache), retry with
     #    whatever budget remains — the first attempt's partial compiles
     #    are persisted, so the retry is much faster
     if headline is None and _remaining() > 90:
-        retry = _run_sub('bench_vision.py', budget=_remaining() - 30)
+        retry = run('vision', 'bench_vision.py', budget=_remaining() - 30)
         headline = next(
             (d for d in retry
              if d['metric'] == 'vision_proposer_images_per_sec'), None)
-    # 6. re-print the headline LAST (the driver parses the final line);
+    # 7. self-describing completeness: any family that produced zero
+    #    metrics is called out so an incomplete artifact is unambiguous
+    for fam, n in families.items():
+        if n == 0:
+            print(f'# MISSING: {fam} (0 metrics)', flush=True)
+    # 8. re-print the headline LAST (the driver parses the final line);
     #    fall back to an explicit failure record so the artifact is
     #    never mislabeled
     if headline is None:

@@ -6,11 +6,13 @@ The TPU fast path behind the reference's bitsandbytes 4/8-bit switch
 B=8 with int8 KV is the continuous-batching aggregate behind
 serve/engine.py (weights amortized across slots).
 
-Variants are argv-selectable so the driver path can run a tight subset:
-    python bench_decode_quant.py            # driver set (4 variants)
-    python bench_decode_quant.py all        # + int8+kv8 B=1
-Decode loops run as one in-graph scan (STEPS=256 amortizes the ~30 ms
-tunnel dispatch to <0.1%).
+Variants are argv-selectable so the driver path can run a tight subset
+(BENCH_r03 lost the whole family to a 420 s timeout with four variants;
+the r4 driver set is the two ends of the quant spectrum only):
+    python bench_decode_quant.py            # driver set (2 variants)
+    python bench_decode_quant.py all        # 6 variants, STEPS=256
+Decode loops run as one in-graph scan (STEPS=128 amortizes the ~30 ms
+tunnel dispatch to <0.2%).
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -27,7 +29,7 @@ from groma_tpu.models.llama_quant import (make_quant_kv_cache,
 from _fixtures import mk_llama_quant_params
 
 cfg = LlamaConfig()
-PRE, STEPS, MAXLEN = 512, 256, 1024
+PRE, STEPS, MAXLEN = 512, 128, 1024
 V = cfg.vocab_size
 
 
@@ -79,21 +81,23 @@ def measure(qp, B, kv8, metric, note=''):
 
 
 def main(which='driver'):
+    global STEPS
+    if which == 'all':
+        STEPS = 256
     qp8 = mk_llama_quant_params(cfg, bits=8)
+    # interactive single-stream decode first: the family's headline
     measure(qp8, 1, False, 'llama7b_int8_decode_tok_per_sec',
             '(bf16 was 24.1 ms round 1)')
     if which == 'all':
         measure(qp8, 1, True, 'llama7b_int8_kv8_decode_tok_per_sec')
-    measure(qp8, 8, True, 'llama7b_int8_kv8_batch8_decode_tok_per_sec',
-            '(continuous-batching aggregate, serve/engine.py)')
+        measure(qp8, 8, True, 'llama7b_int8_kv8_batch8_decode_tok_per_sec',
+                '(continuous-batching aggregate, serve/engine.py)')
     del qp8
     qp4 = mk_llama_quant_params(cfg, bits=4)
-    # peak serving config FIRST: if the driver budget kills this process
-    # mid-run, the salvaged prefix keeps the headline serving number
     measure(qp4, 8, True, 'llama7b_int4_kv8_batch8_decode_tok_per_sec',
             '(peak serving config)')
-    measure(qp4, 1, False, 'llama7b_int4_decode_tok_per_sec')
     if which == 'all':
+        measure(qp4, 1, False, 'llama7b_int4_decode_tok_per_sec')
         del qp4
         # bf16 fused-stream tree (bits=16): full-precision single-stream
         # decode through the same programs (weights ~13.2 GB: B=1 only)

@@ -151,7 +151,7 @@ def main(batch=1, w8a8=False, vision_int8=False):
         'value': round(batch / dt, 3),
         'unit': 'images/sec',
         'vs_baseline': round(batch / dt, 3),
-    }))
+    }), flush=True)
     print(f'# {dt * 1000:.0f} ms/batch (prefill {t["valid"].sum()} tokens '
           f'+ {decode_steps} decode steps, bs {batch})', file=sys.stderr)
     # pipelined throughput: dispatch every batch asynchronously and sync
@@ -170,7 +170,7 @@ def main(batch=1, w8a8=False, vision_int8=False):
         'value': round(batch / dtp, 3),
         'unit': 'images/sec',
         'vs_baseline': round(batch / dtp, 3),
-    }))
+    }), flush=True)
     print(f'# pipelined {dtp * 1000:.0f} ms/batch over {npipe} async '
           f'batches', file=sys.stderr)
 

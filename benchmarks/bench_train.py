@@ -166,8 +166,11 @@ def bench_vl_depth_series(depths=(1, 2, 3), batch=2, seq=2048, steps=8):
         'depth_proxy': f'affine fit from depths {list(depths)} '
                        f'(fp32 Adam caps 16GB at 3 layers); '
                        f'max fit residual {resid * 100:.1f}%'}), flush=True)
+    # metric renamed from vl_train_tokens_per_sec (r03): the r02 artifact
+    # reported the shallow-depth proxy under the same name, which read as
+    # a phantom 12x regression round-over-round (VERDICT r3 weak #6)
     print(json.dumps({
-        'metric': 'vl_train_tokens_per_sec',
+        'metric': 'vl_train_tokens_per_sec_fitted32',
         'value': round(batch * seq / dt32, 3), 'unit': 'tokens/sec/chip',
         'vs_baseline': round(batch * seq / dt32, 3),
         'depth_proxy': 'fitted 32-layer step time'}), flush=True)

@@ -45,6 +45,12 @@ def check_vs_oracle(name, got, baseline, oracle):
 def main():
     dev = jax.devices()[0]
     print(f'device: {dev} platform={dev.platform}')
+    if dev.platform != 'tpu':
+        # off-TPU the kernels silently fall back to interpret/reference
+        # paths, so a pass here would NOT validate Mosaic lowering
+        print('FAIL: not a TPU — this script validates Mosaic lowering '
+              'and is meaningless on', dev.platform)
+        return 1
     rng = np.random.default_rng(0)
     ok = True
 
