@@ -54,9 +54,12 @@ def main(batch=1, w8a8=False, vision_int8=False):
         cfg = dataclasses.replace(cfg, vision_int8=True)
 
     model = GromaModel(cfg)
-    # REC prompts are ~520 tokens post-surgery; a 768-slot stream (not the
-    # generic 2048) keeps prefill compute and the KV cache proportionate
-    seq_len = 768 if on_tpu else cfg.max_seq_len
+    # REC prompts are ~520 tokens post-surgery; a 640-slot stream (not the
+    # generic 2048) keeps prefill compute and the KV cache proportionate.
+    # 768 -> 640 (round 4): full-prefill 673 -> 494 ms measured (the
+    # attention policy also routes s<1024 to XLA dense — see
+    # models/llama.py FLASH_MIN_SEQ / benchmarks/exp_prefill_policy.py)
+    seq_len = 640 if on_tpu else cfg.max_seq_len
     spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
                       max_region_num=cfg.max_region_num,
                       max_seq_len=seq_len,
@@ -91,7 +94,7 @@ def main(batch=1, w8a8=False, vision_int8=False):
                                num_new_token=cfg.num_new_token,
                                pad_vocab=False)
 
-    max_len = seq_len + 8
+    max_len = (576 if on_tpu else seq_len) + 8
     base = cfg.llm.vocab_size
 
     def logits_fn(qp, hidden):
@@ -101,11 +104,18 @@ def main(batch=1, w8a8=False, vision_int8=False):
                            preferred_element_type=jnp.float32)
         return jnp.concatenate([lg, extra], axis=-1)
 
+    # prefill the COMPACTED stream: ~522 valid tokens in the 640-slot
+    # template -> one 576-slot gap-free buffer (exact; models/groma.py
+    # compact_stream), removing 10% of every prefill matmul's rows
+    from groma_tpu.models.groma import compact_stream
+    prefill_len = 576 if on_tpu else seq_len
+
     def e2e(params, qp, image, ids, slot, valid0, seed):
         image = image + seed.astype(image.dtype) * 1e-9
         emb, fids, valid, vis = model.apply(
             {'params': params}, image, ids, slot, valid0,
             use_flash=on_tpu, method=GromaModel.prepare_stream)
+        emb, valid = compact_stream(emb, valid, prefill_len)
         pos = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
         cache = make_kv_cache(cfg.llm, batch, max_len)
         hidden, cache = quant_llama_forward(qp, cfg.llm, emb, valid, pos,
@@ -159,7 +169,7 @@ def main(batch=1, w8a8=False, vision_int8=False):
     # round-trips for batch N+1 overlap device compute of batch N.  The
     # per-batch fetch above charges one host round-trip (~30 ms on the
     # tunnel) to every batch; a real pipeline pays it once per stream.
-    npipe = 6
+    npipe = 12
     t0 = time.time()
     outs = [run(params, qp, image, ids, slot, valid0, jnp.int32(100 + i))
             for i in range(npipe)]

@@ -35,18 +35,27 @@ on_tpu = jax.devices()[0].platform == 'tpu'
 LONG = '--long' in sys.argv      # long-prompt regime (chunked prefill's
                                  # home turf: the prompt compute dwarfs
                                  # the per-chunk weight re-stream)
+CAPACITY = '--capacity' in sys.argv  # paged-KV capacity regime: slots x
+                                 # max_len the contiguous cache cannot
+                                 # hold in 16 GB next to the weights
 if on_tpu:
     cfg = GromaConfig(
         llm=LlamaConfig(),
         perceiver=PerceiverConfig(vit=ViTConfig(dtype='bfloat16'),
                                   ddetr=DDETRConfig(dtype='bfloat16'),
                                   image_size=448))
-    if LONG:
+    if CAPACITY:
+        # 16 slots x 2104-token int8 contiguous KV = 16 x 551 MB = 8.8 GB
+        # on top of ~8.5 GB weights -> contiguous OOMs; paged allocates
+        # by ACTUAL stream length (~616 tok = 5 pages = 161 MB/slot)
+        SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 16, 16, 48, 24, 192
+        seq_len = 2048
+    elif LONG:
         SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 8, 8, 48, 24, 512
         seq_len = 2048
     else:
         SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 8, 16, 48, 24, 192
-        seq_len = 768
+        seq_len = 640    # REC stream sizing, see bench_e2e.py (round 4)
 else:
     from __graft_entry__ import _small_cfg
     cfg = _small_cfg()
@@ -145,6 +154,8 @@ def drive(prefill_chunk, admit_batch=1, paged=False, spec=0):
                  else ('paged' if paged else f'oneshot_ab{admit_batch}')))
     if LONG:
         tag += '_long'
+    if CAPACITY:
+        tag += '_cap16x2k'
     print(json.dumps({
         'metric': f'engine_aggregate_tok_per_sec_{tag}',
         'value': round(total_toks / dt, 2), 'unit': 'tok/s'}), flush=True)
@@ -157,7 +168,23 @@ def drive(prefill_chunk, admit_batch=1, paged=False, spec=0):
           flush=True)
 
 
-if LONG:
+if CAPACITY:
+    # paged KV's winning regime: 16 concurrent 2k-context streams.  The
+    # contiguous engine must reserve max_len per slot (16 x 551 MB int8
+    # KV) and OOMs next to the ~8.5 GB of weights; the paged pool holds
+    # only live tokens.  Report the contiguous failure explicitly, then
+    # the paged throughput.
+    try:
+        drive(0)
+        print('# contiguous 16x2048 unexpectedly fit', flush=True)
+    except Exception as e:  # noqa: BLE001 — XLA OOM is a RuntimeError
+        print(json.dumps({
+            'metric': 'engine_contiguous_16slot_2k_oom',
+            'value': 1, 'unit': 'bool(out-of-memory)'}), flush=True)
+        print(f'# contiguous 16x2048: {type(e).__name__}: '
+              f'{str(e)[:160]}', flush=True)
+    drive(0, paged=True)
+elif LONG:
     # the chunked-prefill crossover regime: 2048-token prompts.  One-shot
     # stalls every live stream for the FULL ~2k-token prefill; 512-token
     # chunks re-stream the int8 weight tree 3 extra times (~8 ms each, vs

@@ -18,13 +18,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--ckpt', required=True,
                     help="framework/HF checkpoint dir (or 'tiny')")
-    ap.add_argument('--out', required=True, help='output .safetensors path')
+    ap.add_argument('--out', required=True,
+                    help='output .safetensors path, or a directory '
+                         '(no .safetensors suffix) to write a complete '
+                         'HF checkpoint dir: config.json + weights')
     args = ap.parse_args()
 
-    from groma_tpu.checkpoint.hf_export import export_groma, save_safetensors
+    from groma_tpu.checkpoint.hf_export import (export_groma, export_hf_dir,
+                                                save_safetensors)
     from groma_tpu.checkpoint.loader import load_groma
 
     _, params, cfg = load_groma(args.ckpt)
+    if not args.out.endswith('.safetensors'):
+        export_hf_dir(params, cfg, args.out)
+        print(f'wrote HF checkpoint dir {args.out} '
+              f'(config.json + model.safetensors)')
+        return
     sd = export_groma(params, cfg)
     save_safetensors(sd, args.out)
     n = sum(v.size for v in sd.values())

@@ -304,3 +304,78 @@ def save_safetensors(sd: Dict[str, np.ndarray], path: str):
     """Write a state dict as .safetensors (HF's standard container)."""
     from safetensors.numpy import save_file
     save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)
+
+
+def export_config(cfg) -> dict:
+    """GromaConfig -> the reference's nested config.json dict — the exact
+    inverse of loader.hf_groma_config, so an exported directory reloads
+    through the same HF-checkpoint path as the released checkpoints
+    (reference: groma/model/groma.py:31-83 nested-config serialization)."""
+    vit, ddetr, llm = cfg.perceiver.vit, cfg.perceiver.ddetr, cfg.llm
+    return {
+        'model_type': 'groma',
+        'llm_cfg': {
+            'compute_dtype': llm.dtype,
+            'vocab_size': llm.vocab_size,
+            'hidden_size': llm.hidden_size,
+            'intermediate_size': llm.intermediate_size,
+            'num_hidden_layers': llm.num_layers,
+            'num_attention_heads': llm.num_heads,
+            'num_key_value_heads': llm.num_kv_heads,
+            'max_position_embeddings': llm.max_position_embeddings,
+            'rope_theta': llm.rope_theta,
+            'rms_norm_eps': llm.rms_norm_eps,
+        },
+        'perceiver_cfg': {
+            'vis_encoder_cfg': {
+                'compute_dtype': vit.dtype,
+                'hidden_size': vit.hidden_size,
+                'num_hidden_layers': vit.num_layers,
+                'num_attention_heads': vit.num_heads,
+                'mlp_ratio': vit.mlp_ratio,
+                'patch_size': vit.patch_size,
+                'image_size': vit.image_size,
+                'layerscale_value': vit.layerscale_value,
+                'use_swiglu_ffn': vit.use_swiglu_ffn,
+            },
+            'ddetr_cfg': {
+                'compute_dtype': ddetr.dtype,
+                'd_model': ddetr.d_model,
+                'num_queries': ddetr.num_queries,
+                'encoder_layers': ddetr.encoder_layers,
+                'decoder_layers': ddetr.decoder_layers,
+                'encoder_attention_heads': ddetr.num_heads,
+                'encoder_ffn_dim': ddetr.ffn_dim,
+                'num_feature_levels': ddetr.num_feature_levels,
+                'encoder_n_points': ddetr.enc_n_points,
+                'decoder_n_points': ddetr.dec_n_points,
+                'num_labels': ddetr.num_labels,
+                'two_stage': ddetr.two_stage,
+                'with_box_refine': ddetr.with_box_refine,
+                'focal_alpha': ddetr.focal_alpha,
+            },
+            'vis_output_layer': cfg.perceiver.vis_output_layer,
+            'deploy_image_size': cfg.perceiver.image_size,
+        },
+        'num_new_token': cfg.num_new_token,
+        'nms_thres': cfg.nms_thres,
+        'box_score_thres': cfg.box_score_thres,
+        'max_region_num': cfg.max_region_num,
+        'num_image_tokens': cfg.num_image_tokens,
+        'max_seq_len': cfg.max_seq_len,
+        'region_roi_out': cfg.region_roi_out,
+        'region_num_fuse': cfg.region_num_fuse,
+        'region_gn_groups': cfg.region_gn_groups,
+    }
+
+
+def export_hf_dir(params: dict, cfg, out_dir: str):
+    """Write a complete HF-layout checkpoint directory
+    (config.json + model.safetensors) that loader.load_groma re-reads."""
+    import json
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, 'config.json'), 'w') as f:
+        json.dump(export_config(cfg), f, indent=1)
+    save_safetensors(export_groma(params, cfg),
+                     os.path.join(out_dir, 'model.safetensors'))

@@ -28,6 +28,7 @@ def hf_groma_config(d: dict) -> GromaConfig:
     vit_d = perc_d.get('vis_encoder_cfg', {})
     ddetr_d = perc_d.get('ddetr_cfg', {})
     vit = ViTConfig(
+        dtype=vit_d.get('compute_dtype', ViTConfig.dtype),
         hidden_size=vit_d.get('hidden_size', 1024),
         num_layers=vit_d.get('num_hidden_layers', 24),
         num_heads=vit_d.get('num_attention_heads', 16),
@@ -38,6 +39,7 @@ def hf_groma_config(d: dict) -> GromaConfig:
         use_swiglu_ffn=vit_d.get('use_swiglu_ffn', False),
     )
     ddetr = DDETRConfig(
+        dtype=ddetr_d.get('compute_dtype', DDETRConfig.dtype),
         d_model=ddetr_d.get('d_model', 256),
         num_queries=ddetr_d.get('num_queries', 300),
         encoder_layers=ddetr_d.get('encoder_layers', 6),
@@ -56,8 +58,11 @@ def hf_groma_config(d: dict) -> GromaConfig:
     perceiver = PerceiverConfig(
         vit=vit, ddetr=ddetr,
         vis_output_layer=perc_d.get('vis_output_layer', -1),
-        image_size=448)
+        # reference checkpoints carry no deploy size (448 is groma.py's
+        # fixed input); exported-from-here dirs record theirs
+        image_size=perc_d.get('deploy_image_size', 448))
     llm = LlamaConfig(
+        dtype=llm_d.get('compute_dtype', LlamaConfig.dtype),
         vocab_size=llm_d.get('vocab_size', 32000),
         hidden_size=llm_d.get('hidden_size', 4096),
         intermediate_size=llm_d.get('intermediate_size', 11008),
@@ -75,6 +80,13 @@ def hf_groma_config(d: dict) -> GromaConfig:
         nms_thres=d.get('nms_thres', 0.6),
         box_score_thres=d.get('box_score_thres', 0.15),
         max_region_num=d.get('max_region_num', 100),
+        # framework-only shape knobs (absent from reference checkpoints,
+        # recorded by checkpoint/hf_export.export_config)
+        num_image_tokens=d.get('num_image_tokens', 256),
+        max_seq_len=d.get('max_seq_len', 2048),
+        region_roi_out=d.get('region_roi_out', 14),
+        region_num_fuse=d.get('region_num_fuse', 5),
+        region_gn_groups=d.get('region_gn_groups', 64),
     )
 
 

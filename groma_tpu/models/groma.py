@@ -355,3 +355,25 @@ class GromaModel(nn.Module):
         valid = jnp.ones_like(token_ids, dtype=bool)
         hidden, cache = self.llm(emb, valid, position_ids, cache=cache)
         return self.logits(hidden[:, -1]), cache
+
+
+def compact_stream(emb, valid, out_len, ids=None):
+    """Drop the interior surgery pad gaps from a grounded stream: gather
+    each row's valid positions to the front of a fixed ``out_len`` buffer.
+
+    Exact for the LLM: causal order is preserved and the rope position
+    ids are the compacted cumsum indices already (the same argument that
+    makes the paged engine's seat-time compaction exact — serve/engine.py).
+    A REC stream carries ~520 valid tokens inside the 640-slot template
+    (image 256 + 2x100 region slots + text), so prefilling the compacted
+    576-slot stream removes ~10% of every matmul's rows for free.
+    Rows with more than ``out_len`` valid tokens are silently truncated —
+    size ``out_len`` to the workload's maximum.
+    """
+    order = jnp.argsort(~valid, axis=-1, stable=True)   # valid-first
+    take = order[:, :out_len]
+    cemb = jnp.take_along_axis(emb, take[..., None], axis=1)
+    cvalid = jnp.take_along_axis(valid, take, axis=1)
+    if ids is not None:
+        return cemb, cvalid, jnp.take_along_axis(ids, take, axis=1)
+    return cemb, cvalid

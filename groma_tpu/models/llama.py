@@ -32,6 +32,14 @@ from groma_tpu.parallel.mesh import constrain
 from groma_tpu.config import LlamaConfig
 from groma_tpu.ops.flash_attention import flash_attention
 
+# Below this many query tokens XLA's dense-attention fusion beats the
+# Pallas flash kernel at LLaMA-7B shapes (the (B,H,S,S) tensor is a small
+# transient and Mosaic block overheads dominate; flash q-blocks also pad
+# ragged lengths up).  Measured v5e b8/h32/d128 full 32-layer prefill:
+# s=640 XLA 494 ms vs flash 582; s=768 XLA 624 vs flash 673; s=2048 flash
+# wins (9.09 vs 13.9 ms/layer fwd) — benchmarks/exp_prefill_policy.py.
+FLASH_MIN_SEQ = 1024
+
 
 def rms_norm(x, scale, eps):
     dt = x.dtype
@@ -151,7 +159,8 @@ class LlamaAttention(nn.Module):
         # score materialization against the padded cache
         amask = attn_mask[:, :s] if (cache_kv is None or prefill_mode) \
             else attn_mask
-        if use_flash and (cache_kv is None or prefill_mode):
+        if use_flash and (cache_kv is None or prefill_mode) \
+                and s >= FLASH_MIN_SEQ:
             out = flash_attention(q, k, v, kv_mask=amask, causal=True)
         else:
             scale = hd ** -0.5

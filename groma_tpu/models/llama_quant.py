@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from groma_tpu.config import LlamaConfig
-from groma_tpu.models.llama import apply_rope, rms_norm, rope_tables
+from groma_tpu.models.llama import (FLASH_MIN_SEQ, apply_rope, rms_norm,
+                                    rope_tables)
 from groma_tpu.ops.flash_attention import flash_attention
 from groma_tpu.ops.quant import int8_matmul, quantize_weight, w8a8_matmul
 from groma_tpu.ops.quant4 import INT4_BLOCK, int4_matmul, quantize_weight_int4
@@ -361,14 +362,22 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
                 k = jnp.repeat(k, rep, axis=1)
                 v = jnp.repeat(v, rep, axis=1)
 
-            if use_flash and prefill_mode:
+            if use_flash and prefill_mode and s >= FLASH_MIN_SEQ:
                 attn = flash_attention(q, k, v, kv_mask=amask, causal=True)
             else:
+                # bf16 score STORAGE with fp32 softmax arithmetic (torch
+                # bf16-autocast semantics, same idiom as models/layers.py)
+                # — at b8/s640 prefill the materialized (B,H,S,S) tensor
+                # between the two softmax passes halves, worth ~2x400 MB
+                # of HBM traffic per layer vs f32 scores
+                score_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 \
+                    and prefill_mode else jnp.float32
                 scale = hd ** -0.5
                 sc = jnp.einsum('bhqd,bhkd->bhqk', q, k,
-                                preferred_element_type=jnp.float32) * scale
-                sc = sc + mask_bias
-                p = jax.nn.softmax(sc, axis=-1)
+                                preferred_element_type=score_dtype) \
+                    * jnp.asarray(scale, score_dtype)
+                sc = sc + mask_bias.astype(score_dtype)
+                p = jax.nn.softmax(sc.astype(jnp.float32), axis=-1)
                 attn = jnp.einsum('bhqk,bhkd->bhqd', p.astype(v.dtype), v,
                                   preferred_element_type=jnp.float32)
         attn = attn.astype(dtype).transpose(0, 2, 1, 3).reshape(b, s, -1)

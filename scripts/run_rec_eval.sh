@@ -34,6 +34,7 @@ for s in $SPLITS; do
   PYTHONPATH="$HERE:${PYTHONPATH:-}" python -m groma_tpu.eval.eval_rec \
     --model-dir "$CKPT" --img-prefix "$DATA/train2014" \
     --ann-file "$ann" --limit "$LIMIT" \
+    ${REC_TOKENIZER:+--tokenizer "$REC_TOKENIZER"} \
     | tee "$OUT/$s.log"
 done
 

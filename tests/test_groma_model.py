@@ -144,3 +144,45 @@ def test_vision_fallback_no_survivors(model_and_params):
                       method=GromaModel.vision)
     mask = np.asarray(vis['selected_mask'][0])
     assert mask.any()  # fallback guarantees at least one region
+
+
+def test_compact_stream_prefill_equivalence(rng, model_and_params):
+    """Prefilling the compacted (gap-free) stream reproduces the gappy
+    stream's last-valid logits exactly — the argument that sizes the
+    e2e/serving prefill to the valid-token count (models/groma.py
+    compact_stream; same exactness argument as the paged engine's
+    seat-time compaction)."""
+    from groma_tpu.models.groma import compact_stream
+    from groma_tpu.models.llama import make_kv_cache
+    model, params = model_and_params
+    t = _template(with_refer=True, with_ground=True)
+    images = jnp.asarray(rng.standard_normal((2, 56, 56, 3)), jnp.float32)
+    ids = jnp.asarray(np.stack([t['input_ids']] * 2))
+    slot = jnp.asarray(np.stack([t['region_slot']] * 2))
+    valid0 = jnp.asarray(np.stack([t['valid']] * 2))
+    rb = jnp.asarray(rng.uniform(0.3, 0.6, (2, CFG.max_region_num, 4)),
+                     jnp.float32)
+    rv = jnp.zeros((2, CFG.max_region_num), bool).at[:, 0].set(True)
+
+    emb, fids, valid, vis = model.apply(
+        {'params': params}, images, ids, slot, valid0,
+        refer_boxes=rb, refer_valid=rv, ground_boxes=rb, ground_valid=rv,
+        method=GromaModel.prepare_stream)
+    nvalid = int(np.asarray(valid).sum(-1).max())
+    out_len = nvalid + 3                       # a little tail headroom
+
+    def run(emb, valid, max_len):
+        pos = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
+        cache = make_kv_cache(CFG.llm, 2, max_len)
+        hidden, _ = model.apply(
+            {'params': params}, emb, valid, pos, cache=cache,
+            method=lambda m, *a, **kw: m.llm(*a, **kw))
+        last = jnp.argmax(pos, axis=-1)
+        return jnp.take_along_axis(hidden, last[:, None, None], 1)[:, 0]
+
+    full = run(emb, valid, CFG.max_seq_len + 8)
+    cemb, cvalid = compact_stream(emb, valid, out_len)
+    assert int(np.asarray(cvalid).sum(-1).max()) == nvalid
+    comp = run(cemb, cvalid, out_len + 8)
+    np.testing.assert_allclose(np.asarray(comp), np.asarray(full),
+                               atol=2e-4, rtol=1e-4)
