@@ -269,6 +269,20 @@ if __name__ == '__main__':
     which = sys.argv[1] if len(sys.argv) > 1 else 'all'
     if which in ('all', 'vl'):
         bench_vl_depth_series()
+        # one fp32-Adam comparison point: the optimizer-update stream is
+        # visible MFU (depth 3: 54.0% adam vs 51.3% adafactor measured
+        # r4) — adafactor is the series optimizer only because its
+        # 8 B/param state lets depth 6 anchor the fit in 16 GB
+        import jax as _jax
+        if _jax.devices()[0].platform == 'tpu':
+            _, _, _, mfu3 = bench_vl(layers=3, batch=2, steps=8,
+                                     emit=False, optimizer='adamw')
+            print(json.dumps({
+                'metric': 'vl_train_step_mfu_at_depth3_adamfp32',
+                'value': round(mfu3 * 100, 3), 'unit': 'percent-of-peak',
+                'vs_baseline': round(mfu3 * 100, 3),
+                'depth_proxy': 'fp32 Adam (r03 series optimizer) at '
+                               'depth 3 of 32'}), flush=True)
     if which in ('all', 'det'):
         bench_det()
     if which == 'vl2':   # single-depth quick mode (round-2 behavior)

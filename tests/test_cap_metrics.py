@@ -100,3 +100,33 @@ def test_rouge_l_max_prec_and_rec_from_different_refs():
 
 def test_rouge_l_empty_candidate_zero():
     assert rouge_l({'x': ''}, {'x': ['a b']}) == 0.0
+
+
+def test_meteor_stem_stage_recovers_inflection():
+    """Stage-2 (Porter stem, weight 0.6 — METEOR 1.5 English default)
+    recovers inflection mismatches the exact stage misses; quantifies
+    the old exact-only '-lite' underscore (round-3 verdict missing #3)."""
+    cands = {'x': 'a man riding horses near the walls'}
+    refs = {'x': ['a man rides a horse near the wall']}
+    exact_only = meteor(cands, refs, use_stem=False)
+    stemmed = meteor(cands, refs, use_stem=True)
+    assert stemmed > exact_only      # riding/rides, horses/horse, walls/wall
+    # hand golden for the stemmed alignment: exact matches {a, man, near,
+    # the} (m=4, w=4.0) + stem matches {riding~rides, horses~horse,
+    # walls~wall} (m=3, w=1.8) -> wm=5.8, m=7
+    p, r = 5.8 / 7, 5.8 / 8
+    f = p * r / (0.9 * p + 0.1 * r)
+    # chunks: cand indices 0..6 all matched; ref order (0,1,2,3,4,5,6)->
+    # (0,1,2,4,5,6,7): 'a man riding' contiguous, then 'horses near the
+    # walls' -> ref 4,5,6,7 contiguous => 2 chunks
+    want = f * (1 - 0.5 * (2 / 7) ** 3)
+    assert abs(stemmed - want) < 1e-9
+
+
+def test_meteor_stem_stage_noop_on_verbatim():
+    """The stem stage never changes verbatim pairs (exact stage wins
+    first) — '-lite' scores are unchanged wherever they were exact."""
+    cands = {'x': 'the cat sat on the mat'}
+    refs = {'x': ['the cat sat on the mat']}
+    assert meteor(cands, refs, use_stem=True) == \
+        meteor(cands, refs, use_stem=False)
