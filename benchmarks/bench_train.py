@@ -49,13 +49,14 @@ def _emit(metric, value, unit, note=''):
 
 
 def bench_vl(layers=None, batch=None, seq=2048, steps=4, emit=True,
-             optimizer='adamw'):
+             optimizer='adamw', fused_ce=True):
     import jax
     import jax.numpy as jnp
     import optax
 
     from groma_tpu.config import LlamaConfig
     from groma_tpu.models.llama import LlamaForCausalLM
+    from groma_tpu.ops.fused_ce import fused_cross_entropy
     from groma_tpu.train.optimizer import make_adamw
     from groma_tpu.train.steps import TrainState
 
@@ -91,6 +92,16 @@ def bench_vl(layers=None, batch=None, seq=2048, steps=4, emit=True,
         def loss_fn(p):
             # Pallas flash attention (fwd+bwd 22.6 vs 23.8 ms XLA at
             # b8/h32/s2048/d128, and no (B,H,S,S) score tensor in HBM)
+            if fused_ce:
+                # chunked-remat CE (ops/fused_ce.py): no (B, S, V)
+                # fp32 logits tensor in HBM, the head matmul recomputes
+                # in the backward — the r4 MFU lever (VERDICT r3 #5)
+                h, _ = model.apply({'params': p}, ids, use_flash=on_tpu,
+                                   return_hidden=True)
+                ok = jnp.ones(labels[:, 1:].shape, bool)
+                return fused_cross_entropy(
+                    h[:, :-1], (p['lm_head']['kernel'],),
+                    labels[:, 1:], ok)
             logits, _ = model.apply({'params': p}, ids, use_flash=on_tpu)
             logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
             nll = -jnp.take_along_axis(logp, labels[:, 1:, None], -1)

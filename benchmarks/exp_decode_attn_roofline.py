@@ -10,6 +10,17 @@ times, at exact serving shapes (B=8, H=32, S=1024, D=128, 32 layers):
 Roofline: the mandatory HBM stream is the int8 KV (2 x 33.5 MB/layer)
 + f32 scales (2 x 1.05 MB/layer) = 69.2 MB/layer -> 2.21 GB per step
 / 819 GB/s = 2.70 ms.
+
+r4 MEASURED (v5e, L=8 scaled to 32): pallas fused 9.4 ms, xla chain
+5.9 ms, paged fused 9.0 ms — in THIS isolated harness the XLA chain
+wins.  But inside the real scanned 32-layer decode step the ranking
+INVERTS: bench_decode_quant B=8 int4+kv8 runs 10.5 ms/step with the
+Pallas kernel vs 16.7 ms with GROMA_DECODE_ATTN=xla (762 vs 480 tok/s
+aggregate).  The isolated chain hands XLA a single fusion-friendly
+dataflow (attention -> scale -> add, no rope/norm/MLP between layers);
+with the full layer body around it, the chain's dequant+softmax
+intermediates lose their fusion partners.  Microbenchmark rooflines
+guide, full-step numbers decide: the kernel stays the default.
 """
 
 import os
@@ -30,7 +41,13 @@ from groma_tpu.ops.paged_attention import (PAGE,  # noqa: E402
                                            paged_int8_decode_attention)
 from groma_tpu.utils.profiling import time_fn_ingraph  # noqa: E402
 
-B, NH, S, HD, L = 8, 32, 1024, 128, 32
+B, NH, S, HD = 8, 32, 1024, 128
+# per-layer cost is the quantity of interest; chaining L layers in one
+# program amortizes dispatch.  L=32 (the full model) compiles >15 min
+# over the tunnel, so default to 8 and report per-STEP numbers scaled
+# to 32 layers (the kernel shapes are identical at every layer).
+L = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+SCALE = 32 / L
 DISPATCH = 0.030
 
 
@@ -53,20 +70,18 @@ def main():
                                  1e-3, 1.1e-2)
         return k8_, v8_, kss, vss
 
-    k8s, v8s, kss, vss = mk_kv(jax.random.PRNGKey(0))
-    k8 = [k8s[i] for i in range(L)]
-    v8 = [v8s[i] for i in range(L)]
-    ks = [kss[i] for i in range(L)]
-    vs = [vss[i] for i in range(L)]
+    k8, v8, ks, vs = mk_kv(jax.random.PRNGKey(0))
     bias = jnp.zeros((B, 1, 1, S), jnp.float32)
 
-    kv_bytes = L * 2 * (B * NH * S * HD + 4 * B * NH * S)
+    kv_bytes = L * 2 * (B * NH * S * HD + 4 * B * NH * S) * SCALE
     roof = kv_bytes / 819e9
-    print(f'# KV stream {kv_bytes / 1e9:.2f} GB -> roofline '
-          f'{roof * 1e3:.2f} ms/step', flush=True)
+    print(f'# KV stream {kv_bytes / 1e9:.2f} GB (32-layer equiv, '
+          f'measured at L={L}) -> roofline {roof * 1e3:.2f} ms/step',
+          flush=True)
 
-    def alllayers(fn, q, *kv):
-        k8_, ks_, v8_, vs_ = kv
+    # every KV buffer is a jit ARG (closed-over device arrays embed as
+    # HLO constants and blow past the tunnel's compile-request limit)
+    def alllayers(fn, q, k8_, ks_, v8_, vs_):
         out = q
         for i in range(L):
             out = out + fn(out * (1.0 / (1 + i)), k8_[i], ks_[i],
@@ -75,10 +90,11 @@ def main():
 
     for name, fn in (('pallas fused', int8_decode_attention),
                      ('xla chain   ', _int8_cache_attention)):
-        f = jax.jit(lambda q, k8_, _fn=fn:
-                    alllayers(_fn, q, k8_, ks, v8, vs))
-        dt = time_fn_ingraph(lambda q_: f(q_, k8), (q,), iters=32) \
-            - DISPATCH / 32
+        f = jax.jit(lambda q, a, b, c, d, _fn=fn:
+                    alllayers(_fn, q, a, b, c, d))
+        dt = (time_fn_ingraph(lambda q_, a, b, c, d: f(q_, a, b, c, d),
+                              (q, k8, ks, v8, vs), iters=32)
+              - DISPATCH / 32) * SCALE
         print(f'{name}: {dt * 1e3:7.2f} ms/32-layer step '
               f'({dt / roof:.2f}x roofline)', flush=True)
 
@@ -90,7 +106,6 @@ def main():
         (np.arange(B * npages).reshape(B, npages) + 1), jnp.int32)
     lengths = jnp.full((B,), S - PAGE // 2, jnp.int32)
 
-    @jax.jit
     def to_pages(a):     # (B, NH, S, ...) -> (pool, NH, PAGE, ...)
         tail = a.shape[3:]
         pages = a.reshape(B, NH, npages, PAGE, *tail) \
@@ -98,22 +113,22 @@ def main():
             .reshape(B * npages, NH, PAGE, *tail)
         return jnp.concatenate([pages[:1] * 0, pages], axis=0)
 
-    kp = [to_pages(k8[i]) for i in range(L)]
-    vp = [to_pages(v8[i]) for i in range(L)]
-    ksp = [to_pages(ks[i]) for i in range(L)]
-    vsp = [to_pages(vs[i]) for i in range(L)]
+    pageify = jax.jit(lambda a: jax.vmap(to_pages)(a))
+    kp, vp, ksp, vsp = (pageify(k8), pageify(v8), pageify(ks),
+                        pageify(vs))
 
-    def paged_all(q, kp_):
+    def paged_all(q, kp_, ksp_, vp_, vsp_):
         out = q
         for i in range(L):
             out = out + paged_int8_decode_attention(
-                out * (1.0 / (1 + i)), kp_[i], ksp[i], vp[i], vsp[i],
+                out * (1.0 / (1 + i)), kp_[i], ksp_[i], vp_[i], vsp_[i],
                 table, lengths).astype(out.dtype) * 1e-6
         return jnp.sum(out)
 
     f = jax.jit(paged_all)
-    dt = time_fn_ingraph(lambda q_: f(q_, kp), (q,), iters=32) \
-        - DISPATCH / 32
+    dt = (time_fn_ingraph(lambda q_, a, b, c, d: f(q_, a, b, c, d),
+                          (q, kp, ksp, vp, vsp), iters=32)
+          - DISPATCH / 32) * SCALE
     print(f'paged fused : {dt * 1e3:7.2f} ms/32-layer step '
           f'({dt / roof:.2f}x roofline)', flush=True)
 

@@ -47,6 +47,7 @@ from groma_tpu.models.llama import LlamaModel, make_kv_cache
 from groma_tpu.models.perceiver import Perceiver
 from groma_tpu.models.region_encoder import RegionEncoder
 from groma_tpu.ops.bbox import box_iou, cxcywh_to_xyxy
+from groma_tpu.ops.fused_ce import fused_cross_entropy
 from groma_tpu.ops.nms import nms
 
 
@@ -270,7 +271,8 @@ class GromaModel(nn.Module):
     def __call__(self, images, input_ids, region_slot, base_valid,
                  labels=None, refer_boxes=None, refer_valid=None,
                  ground_boxes=None, ground_valid=None,
-                 rng=None, permute=False, use_flash=False):
+                 rng=None, permute=False, use_flash=False,
+                 fused_ce=True):
         """Training / prefill-style full forward.  Returns (loss, aux)."""
         vis = self.vision(images, refer_boxes, refer_valid, ground_boxes,
                           ground_valid, rng=rng, permute=permute,
@@ -297,13 +299,27 @@ class GromaModel(nn.Module):
                                  constant_values=-1)
             ok = (labels != IGNORE_INDEX) & (prev_valid >= 0)
             src = jnp.clip(prev_valid, 0, None)
-            cond_logits = jnp.take_along_axis(
-                logits, src[..., None], axis=1).astype(jnp.float32)
             safe = jnp.where(ok, labels, 0)
-            logp = jax.nn.log_softmax(cond_logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
-            loss = jnp.sum(jnp.where(ok, nll, 0.0)) \
-                / jnp.maximum(jnp.sum(ok), 1)
+            if fused_ce:
+                # gather HIDDEN (B,S,H) instead of logits (B,S,V) and
+                # never materialize a full-vocab tensor: chunked-remat
+                # logsumexp CE (ops/fused_ce.py).  Head matmuls run in
+                # the hidden dtype (the reference's bf16 autocast
+                # semantics) with fp32 accumulation.
+                cond_hidden = jnp.take_along_axis(
+                    hidden, src[..., None], axis=1)
+                loss = fused_cross_entropy(
+                    cond_hidden,
+                    (self.lm_head.variables['params']['kernel'],
+                     self.extra_lm_head.variables['params']['kernel']),
+                    safe, ok)
+            else:
+                cond_logits = jnp.take_along_axis(
+                    logits, src[..., None], axis=1).astype(jnp.float32)
+                logp = jax.nn.log_softmax(cond_logits, axis=-1)
+                nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+                loss = jnp.sum(jnp.where(ok, nll, 0.0)) \
+                    / jnp.maximum(jnp.sum(ok), 1)
         return {'loss': loss, 'logits': logits, 'vis': vis,
                 'valid': valid, 'final_input_ids': input_ids}
 

@@ -304,7 +304,7 @@ class LlamaForCausalLM(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attn_mask=None, position_ids=None,
-                 cache=None, use_flash=False):
+                 cache=None, use_flash=False, return_hidden=False):
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
         embed = self.param('embed_tokens', nn.initializers.normal(0.02),
@@ -319,6 +319,11 @@ class LlamaForCausalLM(nn.Module):
                                   remat_policy=self.remat_policy,
                                   name='model')(
             x, attn_mask, position_ids, cache, use_flash)
+        if return_hidden:
+            # callers fusing CE with the head matmul (ops/fused_ce.py)
+            # take the hidden states and p['lm_head']['kernel'] directly,
+            # never materializing the (B, S, V) logits
+            return h, new_cache
         logits = nn.Dense(c.vocab_size, use_bias=False, dtype=dtype,
                           name='lm_head')(h)
         return logits, new_cache

@@ -15,6 +15,7 @@ and rotary stay bf16/f32.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -342,10 +343,14 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
             k, v = ck[i], cv[i]
 
         rep = nh // nkv
-        if quant_kv and not prefill_mode and s == 1 and rep == 1:
+        if quant_kv and not prefill_mode and s == 1 and rep == 1 \
+                and os.environ.get('GROMA_DECODE_ATTN', 'pallas') != 'xla':
             # fused Pallas kernel on TPU (falls back to the XLA chain
             # below off-TPU / at ragged shapes): 7.2 -> 5.2 ms per
-            # 32-layer step at B=8 S=1024 (ops/decode_attention.py)
+            # 32-layer step at B=8 S=1024 (ops/decode_attention.py).
+            # GROMA_DECODE_ATTN=xla forces the _int8_cache_attention
+            # chain (the r4 isolated-kernel probe had it faster; the
+            # full scanned decode step is the decisive comparison).
             from groma_tpu.ops.decode_attention import int8_decode_attention
             attn = int8_decode_attention(
                 q, ck[i], cks[i], cv[i], cvs[i], mask_bias)

@@ -41,6 +41,11 @@ def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref, o_ref,
     amax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)        # (hb, 1)
     qs = jnp.where(amax > 0, amax / 127.0, 1.0)
     q8 = jnp.round(q / qs).astype(jnp.int8)
+    # orientation note (r4 measured, B=8 H=32 S=1024 D=128): this
+    # q-as-LHS matvec form runs the 32-layer step at 9.4 ms; flipping to
+    # k-as-LHS ([S, D] x [D, 1]) to avoid a hypothesized k transpose
+    # measured 26 ms — the M=S, N=1 form wastes the whole MXU column
+    # dimension.  Keep q-as-LHS.
     s = jax.lax.dot_general(
         q8[:, None], k_ref[0], (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.int32)[:, 0]               # (hb, S)
