@@ -49,7 +49,14 @@ def _emit(metric, value, unit, note=''):
 
 
 def bench_vl(layers=None, batch=None, seq=2048, steps=4, emit=True,
-             optimizer='adamw', fused_ce=True):
+             optimizer='adamw', fused_ce=False):
+    # fused_ce measured wall-neutral on v5e (depth 6: 330 vs 325
+    # ms/step; depth 3 adam: 190 vs 172) — it trades the (B, S, V)
+    # fp32 HBM round trips for a head-matmul recompute that XLA's
+    # unfused pipeline already hides.  The bench default stays the
+    # materialized path for round-comparability; the MODEL default
+    # (models/groma.py) keeps fused CE for its ~2.6 GB memory win at
+    # the b16 VL-finetune shape.
     import jax
     import jax.numpy as jnp
     import optax

@@ -312,7 +312,7 @@ class GromaModel(nn.Module):
                     cond_hidden,
                     (self.lm_head.variables['params']['kernel'],
                      self.extra_lm_head.variables['params']['kernel']),
-                    safe, ok)
+                    safe, ok, chunk=512, unroll=True)
             else:
                 cond_logits = jnp.take_along_axis(
                     logits, src[..., None], axis=1).astype(jnp.float32)

@@ -31,7 +31,8 @@ def fused_cross_entropy(hidden: jnp.ndarray,
                         heads: Sequence[jnp.ndarray],
                         labels: jnp.ndarray,
                         ok: jnp.ndarray,
-                        chunk: int = 256) -> jnp.ndarray:
+                        chunk: int = 256,
+                        unroll: bool = False) -> jnp.ndarray:
     """Mean NLL of ``labels`` under softmax(concat_i(hidden @ heads[i])).
 
     hidden: (B, S, H) — already gathered to the conditioning positions.
@@ -62,9 +63,16 @@ def fused_cross_entropy(hidden: jnp.ndarray,
         gold = jnp.take_along_axis(logits, l_c[..., None], -1)[..., 0]
         return jnp.sum(jnp.where(o_c, lse - gold, 0.0))
 
-    def body(acc, xs):
-        return acc + chunk_nll(*xs), None
+    if unroll:
+        # python loop: XLA sees all chunk matmuls at once and can
+        # pipeline them (the scan serializes chunk k+1 behind chunk k)
+        total = jnp.zeros((), jnp.float32)
+        for c in range(nc):
+            total = total + chunk_nll(hs[c], ls[c], os_[c])
+    else:
+        def body(acc, xs):
+            return acc + chunk_nll(*xs), None
 
-    total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                            (hs, ls, os_))
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                (hs, ls, os_))
     return total / jnp.maximum(jnp.sum(ok), 1)

@@ -33,9 +33,11 @@ def _mk(rng, b=2, s=37, h=16, vs=(50, 6), dtype=jnp.float32):
 
 
 @pytest.mark.parametrize('chunk', [8, 16, 64])
-def test_value_matches_naive(rng, chunk):
+@pytest.mark.parametrize('unroll', [False, True])
+def test_value_matches_naive(rng, chunk, unroll):
     hidden, heads, labels, ok = _mk(rng)
-    got = fused_cross_entropy(hidden, heads, labels, ok, chunk=chunk)
+    got = fused_cross_entropy(hidden, heads, labels, ok, chunk=chunk,
+                              unroll=unroll)
     want = _naive(hidden, heads, labels, ok)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
