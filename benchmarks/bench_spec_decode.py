@@ -86,14 +86,22 @@ def main(G=8):
     dec = jax.jit(decode_n)
     toks = dec(qp, tok0, cache, jnp.full((1, 1), PRE, jnp.int32))
     toks.block_until_ready()
-    t0 = time.time()
-    logits, cache = pf(qp, jnp.asarray(ids))
-    toks = np.asarray(dec(qp, jnp.argmax(logits, -1)[:, None]
-                          .astype(jnp.int32), cache,
-                          jnp.full((1, 1), PRE, jnp.int32)))
-    dt_seq = time.time() - t0
-    print(f'# sequential {NEW} tokens: {dt_seq * 1e3:.0f} ms '
-          f'({NEW / dt_seq:.1f} tok/s)', file=sys.stderr, flush=True)
+    # the timed baseline is DECODE ONLY (like the spec regimes below,
+    # whose timer starts after prefill), on a warm executable: an
+    # executable's early re-invocations over the axon tunnel can stall
+    # tens of seconds (program re-load), so take the best of 2 reps
+    dt_seq = float('inf')
+    for _ in range(2):
+        t0 = time.time()
+        toks = np.asarray(dec(qp, tok0, cache,
+                              jnp.full((1, 1), PRE, jnp.int32)))
+        dt_seq = min(dt_seq, time.time() - t0)
+    print(f'# sequential {NEW} tokens (warm, decode only): '
+          f'{dt_seq * 1e3:.0f} ms ({NEW / dt_seq:.1f} tok/s, '
+          f'{dt_seq / NEW * 1e3:.1f} ms/tok)', file=sys.stderr, flush=True)
+    print(json.dumps({
+        'metric': 'spec_sequential_baseline_tok_per_sec',
+        'value': round(NEW / dt_seq, 1), 'unit': 'tok/s'}), flush=True)
 
     # two proposer regimes bound the law: prompt-lookup on synthetic
     # weights degenerates to high acceptance (constant-ish greedy
@@ -130,7 +138,33 @@ def main(G=8):
             'value': round(n / dt, 1), 'unit': 'tok/s',
             'vs_baseline': round((n / dt) / (NEW / dt_seq), 2),
             'accept_per_call': stats['tokens_per_call'],
+            'ms_per_verify_call': round(dt / stats['verify_calls'] * 1e3,
+                                        1),
         }), flush=True)
+
+    # decompose the verify-call cost: chain K calls through the donated
+    # cache with NO host work between them (no n-gram search, no
+    # emitted-token sync) and block once — per-call device+dispatch
+    # cost.  The floor regime's ms/call minus this is the host-loop tax
+    # (tunnel round-trips for int(n_accept) + emitted transfer + lookup).
+    logits, cache = pf(qp, jnp.asarray(ids))
+    cur = jnp.argmax(logits, -1)[:1].astype(jnp.int32)
+    draft = jnp.zeros((G,), jnp.int32)
+    pos_j = jnp.asarray([PRE], jnp.int32)
+    cache, emitted, _, cur, pos_j = verify(qp, cache, cur, draft, pos_j)
+    jax.block_until_ready(emitted)
+    K = 24
+    t0 = time.time()
+    for _ in range(K):
+        cache, emitted, _, cur, pos_j = verify(qp, cache, cur, draft,
+                                               pos_j)
+    jax.block_until_ready(emitted)
+    ms = (time.time() - t0) / K * 1e3
+    print(json.dumps({
+        'metric': 'spec_verify_call_device_ms',
+        'value': round(ms, 2), 'unit': 'ms/call',
+        'vs_baseline': round(ms / (dt_seq / NEW * 1e3), 2),
+    }), flush=True)
 
 
 if __name__ == '__main__':
