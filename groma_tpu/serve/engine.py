@@ -50,6 +50,8 @@ class Session:
         self.cancelled = False     # client stop (e.g. stop-string hit)
         self.truncated = False     # paged mode: stream ended early
                                    # because the page pool ran dry
+        self.error = None          # engine-fatal exception (e.g. device
+                                   # OOM): token_stream re-raises it
         self.t_submit = time.time()
         self.t_first: Optional[float] = None   # first-token wall clock
 
@@ -65,10 +67,16 @@ class Session:
         self.cancelled = True
 
     def token_stream(self):
-        """Yields token ids as they are produced; ends at EOS/length."""
+        """Yields token ids as they are produced; ends at EOS/length.
+        If the engine died (device OOM, kernel failure) the stream ends
+        by RE-RAISING the fatal error instead of hanging or silently
+        truncating."""
         while True:
             item = self._q.get()
             if item is None:
+                if self.error is not None:
+                    raise RuntimeError(
+                        'engine died mid-stream') from self.error
                 return
             yield item
 
@@ -427,6 +435,7 @@ class BatchEngine:
         self._ttft_n = 0
         self._t_started = time.time()
         self._stop = False
+        self._fatal: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         # stop the loop before interpreter teardown (a daemon thread dying
@@ -461,6 +470,9 @@ class BatchEngine:
         ``temperature`` > 0 samples THIS stream's tokens from
         logits/temperature (per-slot: temp-0 streams in the same batch
         stay exactly greedy)."""
+        if self._fatal is not None:
+            raise RuntimeError('engine is dead (fatal scheduler-loop '
+                               'error)') from self._fatal
         sess = Session()
         sess.max_new = min(max_new_tokens or self.max_new_tokens,
                            self.max_new_tokens)
@@ -499,6 +511,8 @@ class BatchEngine:
         if self.paged:
             out['free_pages'] = len(self._free_pages)
             out['total_pages'] = self._num_pages - 1
+        if self._fatal is not None:
+            out['fatal'] = f'{type(self._fatal).__name__}: {self._fatal}'
         return out
 
     def close(self):
@@ -789,9 +803,35 @@ class BatchEngine:
 
     def _loop(self):
         import time
-        while not self._stop:
-            self._admit()
-            if not self._active.any():
-                time.sleep(0.002)
-                continue
-            self._decode_burst()
+        try:
+            while not self._stop:
+                self._admit()
+                if not self._active.any():
+                    time.sleep(0.002)
+                    continue
+                self._decode_burst()
+        except BaseException as e:  # noqa: BLE001 — fail FAST, not hang:
+            # a device error here (OOM during a prefill/burst) would
+            # otherwise kill this thread silently and leave every
+            # consumer blocked on token_stream() forever
+            self._fatal = e
+            self._abort_all(e)
+
+    def _abort_all(self, err: BaseException):
+        """Engine-fatal path: end every live and queued stream with the
+        error attached so consumers unblock and see what happened."""
+        for slot in range(self.max_slots):
+            if self._active[slot]:
+                sess = self._sessions[slot]
+                self._active[slot] = False
+                sess.error = err
+                sess.done = True
+                sess._q.put(None)
+        while not self._queue.empty():
+            try:
+                _, _, (sess, *_rest) = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            sess.error = err
+            sess.done = True
+            sess._q.put(None)

@@ -453,3 +453,42 @@ def test_engine_stats_counters(rng):
     assert st['mean_ttft_sec'] is not None and st['mean_ttft_sec'] > 0
     assert s0.ttft is not None and s0.ttft > 0
     assert st['tokens_per_sec'] > 0
+
+
+def test_engine_fatal_error_fails_fast(rng):
+    """A fatal error in the scheduler loop (e.g. device OOM mid-burst)
+    must NOT leave consumers blocked on token_stream() forever: live and
+    queued streams end by re-raising the error, later submits refuse,
+    and stats() reports the death (serve/engine.py _abort_all)."""
+    model = GromaModel(CFG)
+    tok, reqs = _requests(rng, 3)
+    img0 = jnp.asarray(reqs[0][0])[None]
+    params = model.init(
+        jax.random.PRNGKey(0), images=img0,
+        input_ids=jnp.asarray(reqs[0][1])[None],
+        region_slot=jnp.asarray(reqs[0][2])[None],
+        base_valid=jnp.asarray(reqs[0][3])[None])['params']
+    eng = BatchEngine(model, params, max_slots=1,
+                      max_len=CFG.max_seq_len + 64 + 8,
+                      eos_id=tok.sp.eos, chunk=2, max_new_tokens=64)
+    try:
+        boom = RuntimeError('RESOURCE_EXHAUSTED (simulated)')
+
+        def die():
+            raise boom
+
+        eng._decode_burst = die
+        s0 = eng.submit(*reqs[0])           # will be seated, then die
+        s1 = eng.submit(*reqs[1])           # stays queued -> aborted too
+        with pytest.raises(RuntimeError) as e0:
+            list(s0.token_stream())
+        assert e0.value.__cause__ is boom
+        with pytest.raises(RuntimeError):
+            list(s1.token_stream())
+        assert s0.error is boom and s1.error is boom
+        assert s0.done and s1.done
+        assert 'RESOURCE_EXHAUSTED' in eng.stats()['fatal']
+        with pytest.raises(RuntimeError):   # engine refuses new work
+            eng.submit(*reqs[2])
+    finally:
+        eng.close()
