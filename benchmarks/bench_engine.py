@@ -45,13 +45,21 @@ if on_tpu:
                                   ddetr=DDETRConfig(dtype='bfloat16'),
                                   image_size=448))
     if CAPACITY:
-        # 16 slots x 2104-token int8 contiguous KV = 16 x 551 MB = 8.8 GB
-        # on top of ~8.5 GB weights -> contiguous OOMs; paged allocates
-        # by ACTUAL stream length (~616 tok = 5 pages = 161 MB/slot)
-        SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 16, 16, 48, 24, 192
+        # 12 slots x 2176-token int8 contiguous KV would be 6.6 GB on
+        # top of ~8 GB weights+vision -> contiguous OOMs at 8 slots
+        # already (the LONG regime's measured failure); paged allocates
+        # by ACTUAL stream length (~616 tok = 5 pages = 161 MB/slot),
+        # so a 12k-token pool (3.2 GB) seats all 12.  (16 paged slots
+        # OOMed transiently: a b=1 2k prefill + vision spikes next to
+        # the 4.3 GB pool during a 16-slot burst.)
+        SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 12, 12, 48, 24, 192
         seq_len = 2048
     elif LONG:
-        SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 8, 8, 48, 24, 512
+        # 6 slots, not 8: 8 x 551 MB int8 KV next to ~7.2 GB int8
+        # weights + the b=1 2k-prefill workspace fragments past 16 GB
+        # (round-4 OOM in the decode burst); the stall crossover only
+        # needs >=2 concurrent streams
+        SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 6, 8, 48, 24, 512
         seq_len = 2048
     else:
         SLOTS, NREQ, MAXNEW, CHUNK, PCHUNK = 8, 16, 48, 24, 192
@@ -98,12 +106,14 @@ qp['extra_lm_head'] = jnp.asarray(
 qp = jax.jit(lambda x: x)(qp)
 
 
-def drive(prefill_chunk, admit_batch=1, paged=False, spec=0):
+def drive(prefill_chunk, admit_batch=1, paged=False, spec=0,
+          pool_tokens=None):
     eng = BatchEngine(model, params, max_slots=SLOTS,
                       max_len=seq_len + MAXNEW + 8, eos_id=-1,
                       chunk=CHUNK, max_new_tokens=MAXNEW, qp=qp,
                       kv_bits=8, prefill_chunk_tokens=prefill_chunk,
                       admit_batch=admit_batch, paged_kv=paged,
+                      kv_pool_tokens=pool_tokens,
                       spec_lookahead=spec)
     try:
         # warmup: compile every program — enough simultaneous requests
@@ -131,6 +141,9 @@ def drive(prefill_chunk, admit_batch=1, paged=False, spec=0):
         for th in threads:
             th.join()
         dt = time.perf_counter() - t0
+        for s in sessions:       # surface engine-fatal errors (OOM) in
+            if s.error:          # THIS thread so regime wrappers (the
+                raise s.error    # capacity try/except) can catch them
     finally:
         eng.close()
 
@@ -155,7 +168,7 @@ def drive(prefill_chunk, admit_batch=1, paged=False, spec=0):
     if LONG:
         tag += '_long'
     if CAPACITY:
-        tag += '_cap16x2k'
+        tag += f'_cap{SLOTS}x2k'
     print(json.dumps({
         'metric': f'engine_aggregate_tok_per_sec_{tag}',
         'value': round(total_toks / dt, 2), 'unit': 'tok/s'}), flush=True)
@@ -169,29 +182,41 @@ def drive(prefill_chunk, admit_batch=1, paged=False, spec=0):
 
 
 if CAPACITY:
-    # paged KV's winning regime: 16 concurrent 2k-context streams.  The
-    # contiguous engine must reserve max_len per slot (16 x 551 MB int8
-    # KV) and OOMs next to the ~8.5 GB of weights; the paged pool holds
-    # only live tokens.  Report the contiguous failure explicitly, then
-    # the paged throughput.
-    try:
-        drive(0)
-        print('# contiguous 16x2048 unexpectedly fit', flush=True)
-    except Exception as e:  # noqa: BLE001 — XLA OOM is a RuntimeError
-        print(json.dumps({
-            'metric': 'engine_contiguous_16slot_2k_oom',
-            'value': 1, 'unit': 'bool(out-of-memory)'}), flush=True)
-        print(f'# contiguous 16x2048: {type(e).__name__}: '
-              f'{str(e)[:160]}', flush=True)
-    drive(0, paged=True)
+    # paged KV's winning regime: 16 concurrent 2k-max-context streams.
+    # The contiguous engine must reserve max_len per slot: 16 slots x
+    # 2176 tok x 262 KB/tok int8 = 9.1 GB of KV next to ~7.3 GB int8
+    # weights + ~1 GB bf16 vision = 17.5 GB > 16 GB.  Round-4 measured:
+    # attempting it does not even fail cleanly — the tunnel-side
+    # allocator hangs retrying (30 min, zero progress; the 8-slot LONG
+    # regime OOMs outright) — so the contiguous side is reported as the
+    # arithmetic ledger it is, and the PAGED engine actually runs:
+    # REC-compacted 2k-cap streams seat ~616 live tokens = 5 pages =
+    # 161 MB/slot, so a 16k-token pool (4.3 GB) serves all 16
+    # concurrently.
+    ml = seq_len + MAXNEW + 8
+    per_tok = 2 * 32 * 4096 / 1e9            # int8 KV GB/token (7B MHA)
+    need = SLOTS * (-(-ml // 128) * 128) * per_tok
+    print(json.dumps({
+        'metric': f'engine_contiguous_{SLOTS}slot_2k_kv_gb',
+        'value': round(need, 2), 'unit': 'GB (does not fit: +7.3 GB '
+        'int8 weights + ~1 GB vision > 16 GB HBM; contiguous OOMs at '
+        '8 slots, measured)'}), flush=True)
+    drive(0, paged=True, pool_tokens=SLOTS * 1024)
 elif LONG:
     # the chunked-prefill crossover regime: 2048-token prompts.  One-shot
     # stalls every live stream for the FULL ~2k-token prefill; 512-token
     # chunks re-stream the int8 weight tree 3 extra times (~8 ms each, vs
     # ~35 ms of chunk compute) — a small throughput tax for a 4x tighter
-    # stall bound.
-    drive(0)
-    drive(PCHUNK)
+    # stall bound.  Run the two modes in SEPARATE processes
+    # (--only=oneshot / --only=chunked): the first engine's executables
+    # + fragmentation leave too little of the 16 GB for the second
+    # (round-4 OOM when both ran in one process).
+    only = next((a.split('=', 1)[1] for a in sys.argv
+                 if a.startswith('--only=')), None)
+    if only in (None, 'oneshot'):
+        drive(0)
+    if only in (None, 'chunked'):
+        drive(PCHUNK)
 else:
     drive(0)
     drive(0, admit_batch=4)
