@@ -115,6 +115,10 @@ def main(batch=1, w8a8=False, vision_int8=False):
         emb, fids, valid, vis = model.apply(
             {'params': params}, image, ids, slot, valid0,
             use_flash=on_tpu, method=GromaModel.prepare_stream)
+        # compact_stream capacity guard: emitted alongside the result so
+        # the first (compile) run can assert host-side that no row
+        # overflows prefill_len (silent prompt-token drop otherwise)
+        max_valid = valid.sum(-1).max()
         emb, valid = compact_stream(emb, valid, prefill_len)
         pos = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), -1) - 1, 0)
         cache = make_kv_cache(cfg.llm, batch, max_len)
@@ -142,17 +146,23 @@ def main(batch=1, w8a8=False, vision_int8=False):
         (_, _), toks = jax.lax.scan(step, (logits, cache),
                                     jnp.arange(decode_steps))
         return (toks.sum().astype(jnp.float32)
-                + vis['selected_boxes'].sum().astype(jnp.float32))
+                + vis['selected_boxes'].sum().astype(jnp.float32),
+                max_valid)
 
     run = jax.jit(e2e)
     t0 = time.time()
-    float(run(params, qp, image, ids, slot, valid0, jnp.int32(0)))
+    _, max_valid = run(params, qp, image, ids, slot, valid0, jnp.int32(0))
     print(f'# e2e compile+first run {time.time() - t0:.1f}s',
           file=sys.stderr)
+    if int(max_valid) > prefill_len:
+        raise ValueError(
+            f'compact_stream capacity exceeded: a row carries '
+            f'{int(max_valid)} valid tokens > prefill_len={prefill_len}')
     t0 = time.time()
     n = 3
     for i in range(1, n + 1):
-        v = float(run(params, qp, image, ids, slot, valid0, jnp.int32(i)))
+        v = float(run(params, qp, image, ids, slot, valid0,
+                      jnp.int32(i))[0])
     dt = (time.time() - t0) / n
     suffix = ('_w8a8' if w8a8 else '') + \
         ('_int8vision' if vision_int8 else '')

@@ -142,8 +142,8 @@ def drive(prefill_chunk, admit_batch=1, paged=False, spec=0,
             th.join()
         dt = time.perf_counter() - t0
         for s in sessions:       # surface engine-fatal errors (OOM) in
-            if s.error:          # THIS thread so regime wrappers (the
-                raise s.error    # capacity try/except) can catch them
+            if s.error:          # THIS thread instead of dying silently
+                raise s.error    # inside a consumer thread
     finally:
         eng.close()
 
@@ -182,25 +182,28 @@ def drive(prefill_chunk, admit_batch=1, paged=False, spec=0,
 
 
 if CAPACITY:
-    # paged KV's winning regime: 16 concurrent 2k-max-context streams.
-    # The contiguous engine must reserve max_len per slot: 16 slots x
-    # 2176 tok x 262 KB/tok int8 = 9.1 GB of KV next to ~7.3 GB int8
-    # weights + ~1 GB bf16 vision = 17.5 GB > 16 GB.  Round-4 measured:
-    # attempting it does not even fail cleanly — the tunnel-side
-    # allocator hangs retrying (30 min, zero progress; the 8-slot LONG
-    # regime OOMs outright) — so the contiguous side is reported as the
-    # arithmetic ledger it is, and the PAGED engine actually runs:
-    # REC-compacted 2k-cap streams seat ~616 live tokens = 5 pages =
-    # 161 MB/slot, so a 16k-token pool (4.3 GB) serves all 16
-    # concurrently.
+    # paged KV's winning regime: SLOTS (12) concurrent 2k-max-context
+    # streams.  The contiguous engine must reserve max_len per slot,
+    # which does not fit in 16 GB next to ~7.3 GB int8 weights + ~1 GB
+    # bf16 vision.  Round-4 measured: attempting it does not even fail
+    # cleanly — the tunnel-side allocator hangs retrying (30 min, zero
+    # progress; the 8-slot LONG regime OOMs outright) — so the
+    # contiguous side is reported as the COMPUTED arithmetic ledger it
+    # is, and the PAGED engine actually runs: REC-compacted 2k-cap
+    # streams seat ~616 live tokens = 5 pages = 161 MB/slot, so a
+    # 12k-token pool (3.2 GB) serves all 12 concurrently.
     ml = seq_len + MAXNEW + 8
-    per_tok = 2 * 32 * 4096 / 1e9            # int8 KV GB/token (7B MHA)
+    kv_bytes = 1                             # engine runs kv_bits=8
+    per_tok = (2 * cfg.llm.num_layers * cfg.llm.num_kv_heads
+               * (cfg.llm.hidden_size // cfg.llm.num_heads)
+               * kv_bytes / 1e9)             # int8 KV GB/token
     need = SLOTS * (-(-ml // 128) * 128) * per_tok
     print(json.dumps({
         'metric': f'engine_contiguous_{SLOTS}slot_2k_kv_gb',
-        'value': round(need, 2), 'unit': 'GB (does not fit: +7.3 GB '
-        'int8 weights + ~1 GB vision > 16 GB HBM; contiguous OOMs at '
-        '8 slots, measured)'}), flush=True)
+        'value': round(need, 2), 'unit': 'GB, computed ledger (not a '
+        'measurement; does not fit: +7.3 GB int8 weights + ~1 GB '
+        'vision > 16 GB HBM; contiguous OOMs at 8 slots, measured)'}),
+        flush=True)
     drive(0, paged=True, pool_tokens=SLOTS * 1024)
 elif LONG:
     # the chunked-prefill crossover regime: 2048-token prompts.  One-shot

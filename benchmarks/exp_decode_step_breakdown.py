@@ -48,16 +48,23 @@ def ablated_attention(q, k_q, k_s, v_q, v_s, mask_bias):
 
 
 def main():
-    bdq.STEPS = 128
-    for bits in (4, 8):
-        qp = mk_llama_quant_params(bdq.cfg, bits=bits)
-        for ablate in (False, True):
-            da.int8_decode_attention = ablated_attention if ablate \
-                else REAL_ATTN
-            tag = f'int{bits}_kv8_b8_' + ('noattn' if ablate else 'full')
-            bdq.measure(qp, 8, True, f'exp_breakdown_{tag}')
-        del qp
-    da.int8_decode_attention = REAL_ATTN
+    # restore the module-level monkeypatch and STEPS even if a measure
+    # raises mid-sweep (device OOM): a leaked patch would poison any
+    # driver that imports this module and runs other benches after
+    steps0 = bdq.STEPS
+    try:
+        bdq.STEPS = 128
+        for bits in (4, 8):
+            qp = mk_llama_quant_params(bdq.cfg, bits=bits)
+            for ablate in (False, True):
+                da.int8_decode_attention = ablated_attention if ablate \
+                    else REAL_ATTN
+                tag = f'int{bits}_kv8_b8_' + ('noattn' if ablate else 'full')
+                bdq.measure(qp, 8, True, f'exp_breakdown_{tag}')
+            del qp
+    finally:
+        da.int8_decode_attention = REAL_ATTN
+        bdq.STEPS = steps0
 
 
 if __name__ == '__main__':

@@ -39,6 +39,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from groma_tpu.config import GromaConfig
 from groma_tpu.constants import IGNORE_INDEX
@@ -373,6 +374,21 @@ class GromaModel(nn.Module):
         return self.logits(hidden[:, -1]), cache
 
 
+def check_stream_capacity(valid, out_len):
+    """Fail loudly if any row of ``valid`` holds more than ``out_len``
+    valid tokens (the rows :func:`compact_stream` would silently drop).
+    Call with a CONCRETE mask (host-side, or fetched once before a timed
+    loop); raises ValueError naming the worst row."""
+    counts = np.asarray(jax.device_get(valid)).sum(axis=-1)
+    if counts.max(initial=0) > out_len:
+        bad = int(counts.argmax())
+        raise ValueError(
+            f'compact_stream capacity exceeded: row {bad} has '
+            f'{int(counts[bad])} valid tokens > out_len={out_len} — '
+            f'prompt tokens would be silently dropped; grow out_len or '
+            f'shrink the template')
+
+
 def compact_stream(emb, valid, out_len, ids=None):
     """Drop the interior surgery pad gaps from a grounded stream: gather
     each row's valid positions to the front of a fixed ``out_len`` buffer.
@@ -383,9 +399,14 @@ def compact_stream(emb, valid, out_len, ids=None):
     A REC stream carries ~520 valid tokens inside the 640-slot template
     (image 256 + 2x100 region slots + text), so prefilling the compacted
     576-slot stream removes ~10% of every matmul's rows for free.
-    Rows with more than ``out_len`` valid tokens are silently truncated —
-    size ``out_len`` to the workload's maximum.
+    A row with more than ``out_len`` valid tokens cannot fit: with
+    concrete (non-traced) inputs this raises ValueError; under jit the
+    caller must pre-validate with :func:`check_stream_capacity` on the
+    host-side valid mask (a traced overflow would otherwise silently
+    drop prompt tokens).
     """
+    if not isinstance(valid, jax.core.Tracer):
+        check_stream_capacity(valid, out_len)
     order = jnp.argsort(~valid, axis=-1, stable=True)   # valid-first
     take = order[:, :out_len]
     cemb = jnp.take_along_axis(emb, take[..., None], axis=1)

@@ -436,6 +436,10 @@ class BatchEngine:
         self._t_started = time.time()
         self._stop = False
         self._fatal: Optional[BaseException] = None
+        # serializes submit() against _abort_all(): without it a request
+        # enqueued between the fatal-check and the put could miss the
+        # abort drain and leave its consumer blocked forever
+        self._admission_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         # stop the loop before interpreter teardown (a daemon thread dying
@@ -470,9 +474,6 @@ class BatchEngine:
         ``temperature`` > 0 samples THIS stream's tokens from
         logits/temperature (per-slot: temp-0 streams in the same batch
         stay exactly greedy)."""
-        if self._fatal is not None:
-            raise RuntimeError('engine is dead (fatal scheduler-loop '
-                               'error)') from self._fatal
         sess = Session()
         sess.max_new = min(max_new_tokens or self.max_new_tokens,
                            self.max_new_tokens)
@@ -484,9 +485,16 @@ class BatchEngine:
             ids_np = np.asarray(input_ids).reshape(-1)
             val_np = np.asarray(base_valid).reshape(-1)
             sess._ctx = [int(t) for t, v in zip(ids_np, val_np) if v]
-        self._n_submitted += 1
-        self._queue.put((-priority, next(self._seq),
-                         (sess, image, input_ids, region_slot, base_valid)))
+        with self._admission_lock:
+            if self._fatal is not None:
+                raise RuntimeError('engine is dead (fatal scheduler-loop '
+                                   'error)') from self._fatal
+            if self._stop:
+                raise RuntimeError('engine is closed')
+            self._n_submitted += 1
+            self._queue.put((-priority, next(self._seq),
+                             (sess, image, input_ids, region_slot,
+                              base_valid)))
         return sess
 
     def stats(self) -> dict:
@@ -814,8 +822,26 @@ class BatchEngine:
             # a device error here (OOM during a prefill/burst) would
             # otherwise kill this thread silently and leave every
             # consumer blocked on token_stream() forever
-            self._fatal = e
+            with self._admission_lock:
+                self._fatal = e
             self._abort_all(e)
+        else:
+            # graceful stop: unblock consumers of requests that were
+            # queued but never admitted (no error — the stream just ends)
+            with self._admission_lock:
+                pass  # barrier: no submit() can now beat the drain below
+            self._drain_waiting(None)
+
+    def _drain_waiting(self, err: Optional[BaseException]):
+        while not self._queue.empty():
+            try:
+                _, _, (sess, *_rest) = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if err is not None:
+                sess.error = err
+            sess.done = True
+            sess._q.put(None)
 
     def _abort_all(self, err: BaseException):
         """Engine-fatal path: end every live and queued stream with the
@@ -827,11 +853,4 @@ class BatchEngine:
                 sess.error = err
                 sess.done = True
                 sess._q.put(None)
-        while not self._queue.empty():
-            try:
-                _, _, (sess, *_rest) = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            sess.error = err
-            sess.done = True
-            sess._q.put(None)
+        self._drain_waiting(err)

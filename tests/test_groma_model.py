@@ -186,3 +186,27 @@ def test_compact_stream_prefill_equivalence(rng, model_and_params):
     comp = run(cemb, cvalid, out_len + 8)
     np.testing.assert_allclose(np.asarray(comp), np.asarray(full),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_compact_stream_overflow_fails_loudly():
+    """A row with more valid tokens than ``out_len`` must raise (eager
+    path) rather than silently truncate prompt tokens; the host-side
+    checker names the offending row."""
+    import pytest
+    from groma_tpu.models.groma import (check_stream_capacity,
+                                        compact_stream)
+    emb = jnp.zeros((2, 8, 4), jnp.float32)
+    valid = jnp.asarray([[1, 1, 1, 0, 0, 0, 0, 0],
+                         [1, 1, 1, 1, 1, 1, 0, 0]], bool)
+    # fits: max row count 6 <= 6
+    compact_stream(emb, valid, 6)
+    check_stream_capacity(valid, 6)
+    # overflows: row 1 carries 6 > 5
+    with pytest.raises(ValueError, match='row 1 has 6'):
+        compact_stream(emb, valid, 5)
+    with pytest.raises(ValueError, match='capacity exceeded'):
+        check_stream_capacity(valid, 5)
+    # under jit the guard is the caller's job — tracing must not raise
+    cemb, cvalid = jax.jit(
+        lambda e, v: compact_stream(e, v, 5))(emb, valid)
+    assert cemb.shape == (2, 5, 4) and cvalid.shape == (2, 5)
