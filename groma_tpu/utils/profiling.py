@@ -41,20 +41,23 @@ def time_fn_ingraph(fn: Callable, args: tuple, iters: int = 10,
 
     ``perturb_arg`` selects which positional arg gets a tiny per-iteration
     additive perturbation to defeat any value-level caching; the perturbed
-    arg must be a float array.
+    arg must contain at least one float array.  EVERY floating leaf of
+    that arg is perturbed: perturbing only one leaf leaves any compute
+    consuming the others loop-INVARIANT, and XLA hoists it out of the
+    fori_loop — a multi-matmul probe then times 1 of its N matmuls (this
+    exact bug made exp_decode_matmul_m8 read 5 TB/s of phantom weight
+    bandwidth in round 4).
     """
     @jax.jit
     def run(seed, *a):
         def body(i, carry):
             args_i = list(a)
-            # perturb the first floating leaf of the selected arg pytree
             leaves, treedef = jax.tree_util.tree_flatten(
                 args_i[perturb_arg])
             for k, leaf in enumerate(leaves):
                 if jnp.issubdtype(leaf.dtype, jnp.floating):
                     leaves[k] = leaf + ((i + seed).astype(leaf.dtype)
                                         * 1e-12)
-                    break
             args_i[perturb_arg] = jax.tree_util.tree_unflatten(
                 treedef, leaves)
             out = fn(*args_i)
