@@ -113,6 +113,100 @@ def review_answers(questions: List[dict], answers1: List[dict],
     return reviews
 
 
+def load_contexts(path: str) -> Dict[str, str]:
+    """image filename -> '[captions]\\n\\n[category: bbox lines]' context
+    string (reference: eval_gpt_review_visual.py:75-84 — cap_str +
+    box_str assembly from caps_boxes_coco2014_val_80.jsonl)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            inst = json.loads(line)
+            cap_str = '\n'.join(inst['captions'])
+            box_str = '\n'.join(
+                f'{i["category"]}: {i["bbox"]}' for i in inst['instances'])
+            out[inst['image']] = f'{cap_str}\n\n{box_str}'
+    return out
+
+
+def review_files(question_path: str, answer1_path: str, answer2_path: str,
+                 judge: Callable[[str, str], str],
+                 context_path: str | None = None,
+                 rule_path: str = RULE_PATH,
+                 output_path: str | None = None) -> List[dict]:
+    """The reference judge-harness protocol over its jsonl assets
+    (reference: eval_gpt_review_visual.py:52-124): zip question/answer
+    files line-by-line, build the [Context]/[Question]/[{role} 1/2]
+    prompt with the per-category rule from rule.json, call the judge,
+    parse 'x y' scores.  Questions without an 'image' field (the text
+    Vicuna-bench set carried in table/question.jsonl) get an empty
+    context and fall back to the 'default' rule.  ``output_path``
+    append-resumes: already-reviewed lines are skipped, each new review
+    is written immediately (the reference's crash-resume idiom)."""
+    rules = json.load(open(rule_path))
+    contexts = load_contexts(context_path) if context_path else {}
+    done = 0
+    out_f = None
+    reviews: List[dict] = []
+    if output_path:
+        import os
+        if os.path.isfile(output_path):
+            with open(output_path) as f:
+                reviews = [json.loads(line) for line in f]
+            done = len(reviews)
+        out_f = open(output_path, 'a')
+    with open(question_path) as fq, open(answer1_path) as f1, \
+            open(answer2_path) as f2:
+        for idx, (lq, l1, l2) in enumerate(zip(fq, f1, f2)):
+            if idx < done:
+                continue
+            ques, a1, a2 = json.loads(lq), json.loads(l1), json.loads(l2)
+            cat = ques.get('category', 'default')
+            rule = rules[cat] if cat in rules else rules['default']
+            ctx = contexts.get(ques.get('image', ''), '')
+            role = rule['role']
+            prompt = (f'[Context]\n{ctx}\n\n'
+                      f'[Question]\n{ques["text"]}\n\n'
+                      f'[{role} 1]\n{a1["text"]}\n\n[End of {role} 1]\n\n'
+                      f'[{role} 2]\n{a2["text"]}\n\n[End of {role} 2]\n\n'
+                      f'[System]\n{rule["prompt"]}\n\n')
+            review = judge(JUDGE_SYSTEM, prompt)
+            s1, s2 = parse_judge_scores(review)
+            rec = {'id': idx + 1, 'question_id': ques['question_id'],
+                   'answer1_id': a1.get('answer_id', ''),
+                   'answer2_id': a2.get('answer_id', ''),
+                   'category': cat, 'content': review,
+                   'tuple': [s1, s2]}
+            reviews.append(rec)
+            if out_f:
+                out_f.write(json.dumps(rec) + '\n')
+                out_f.flush()
+    if out_f:
+        out_f.close()
+    return reviews
+
+
+def make_judge(spec: str) -> Callable[[str, str], str]:
+    """Judge factory for the CLI: 'stub' scores both answers 5 (harness
+    drills without an LLM); 'http:<url>' POSTs {'system','prompt'} JSON
+    and expects {'text': ...} back — point it at any LLM endpoint (the
+    reference hardcodes the OpenAI API; zero-egress environments plug a
+    local server here)."""
+    if spec == 'stub':
+        return lambda system, prompt: '5 5\nstub judge (no LLM attached)'
+    if spec.startswith('http'):
+        import urllib.request
+
+        def judge(system, prompt, _url=spec):
+            req = urllib.request.Request(
+                _url, json.dumps({'system': system,
+                                  'prompt': prompt}).encode(),
+                {'Content-Type': 'application/json'})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return json.loads(r.read())['text']
+        return judge
+    raise ValueError(f'unknown judge spec: {spec!r} (use stub or http:url)')
+
+
 def summarize_reviews(reviews: List[dict]) -> dict:
     """Relative score summary (reference: summarize_gpt_review.py)."""
     by_cat = {}
@@ -130,3 +224,31 @@ def summarize_reviews(reviews: List[dict]) -> dict:
             'n': len(arr),
         }
     return out
+
+
+def main(argv=None):
+    """CLI mirror of the reference judge harness
+    (reference: eval_gpt_review_visual.py argparse surface +
+    summarize_gpt_review.py): review two answer files against the
+    carried benchmark assets, then print the per-category summary."""
+    import argparse
+    table = __file__.rsplit('/', 1)[0] + '/table'
+    p = argparse.ArgumentParser(description='LLaVA-bench judge harness')
+    p.add_argument('-q', '--question', default=f'{table}/question.jsonl')
+    p.add_argument('-c', '--context', default=None,
+                   help='caps_boxes jsonl (visual questions only)')
+    p.add_argument('-a', '--answer-list', nargs=2, required=True)
+    p.add_argument('-r', '--rule', default=RULE_PATH)
+    p.add_argument('-o', '--output', default=None)
+    p.add_argument('--judge', default='stub',
+                   help="'stub' or 'http:<url>' (see make_judge)")
+    args = p.parse_args(argv)
+    reviews = review_files(args.question, args.answer_list[0],
+                           args.answer_list[1], make_judge(args.judge),
+                           context_path=args.context, rule_path=args.rule,
+                           output_path=args.output)
+    print(json.dumps(summarize_reviews(reviews), indent=2))
+
+
+if __name__ == '__main__':
+    main()
