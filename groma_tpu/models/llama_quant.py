@@ -406,6 +406,49 @@ def quant_llama_forward(qp: dict, cfg: LlamaConfig, inputs_embeds,
     return x, new_cache
 
 
+def quant_llama_decode_megakernel(qp: dict, sp: dict, cfg: LlamaConfig,
+                                  inputs_embeds, attn_mask, cache: dict):
+    """Single-token decode through the all-layer Pallas megakernel
+    (ops/decode_megakernel.py): one pallas_call runs the full L-layer
+    stack with the hidden state in VMEM and the stacked int8 KV cache
+    updated in place.
+
+    ``sp`` = stack_decode_params(qp); ``cache`` = a STACKED cache
+    (make_stacked_quant_kv_cache / stack_kv_cache) with a scalar index.
+    Token positions are the scalar cache index (the bench/generator
+    decode contract — the engine's per-row vector positions keep the
+    per-layer path).  Semantics mirror quant_llama_forward's cached
+    decode branch exactly; returns (hidden (B, 1, D), new_cache).
+    """
+    from groma_tpu.ops.decode_megakernel import fused_decode_step
+    dtype = jnp.dtype(cfg.dtype)
+    hd = cfg.hidden_size // cfg.num_heads
+    b, s, _ = inputs_embeds.shape
+    assert s == 1, 'megakernel decode is single-token'
+    index = cache['index']
+    skv = cache['k'].shape[3]
+    kv_mask = jax.lax.dynamic_update_slice(
+        cache['mask'], attn_mask[:, :1], (0, index))
+    kj = jax.lax.broadcasted_iota(jnp.int32, (1, skv), 1)
+    # OLD positions only (kj < index): the kernel folds the current
+    # token into the softmax in registers via cur_bias
+    mask_bias = jnp.where((kj[0] < index)[None, :] & cache['mask'],
+                          0.0, jnp.float32(-1e30))        # (B, S)
+    cur_bias = jnp.where(attn_mask[:, :1], 0.0, jnp.float32(-1e30))
+    position_ids = jnp.full((b, 1), index, jnp.int32)
+    cos, sin = rope_tables(position_ids, hd, cfg.rope_theta)
+    x, k8, ks, vv8, vvs = fused_decode_step(
+        sp, inputs_embeds[:, 0].astype(jnp.float32),
+        cache['k'], cache['k_scale'], cache['v'], cache['v_scale'],
+        mask_bias, cur_bias, cos[:, 0], sin[:, 0], index,
+        eps=cfg.rms_norm_eps)
+    x = rms_norm(x.astype(dtype)[:, None, :], qp['norm'],
+                 cfg.rms_norm_eps)
+    new_cache = {'k': k8, 'k_scale': ks, 'v': vv8, 'v_scale': vvs,
+                 'mask': kv_mask, 'index': index + 1}
+    return x, new_cache
+
+
 def quant_llama_decode_paged(qp: dict, cfg: LlamaConfig, inputs_embeds,
                              position_ids, pools: dict, table, lengths):
     """Single-token decode against a shared int8 KV PAGE POOL
