@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -176,11 +177,49 @@ def _fwd_wholekv(q, k, v, kv_mask, scale, block_q, interpret,
 WHOLEKV_MAX_SKV = 4096
 
 
+# ------------------------------------------------ causal packed grids
+
+def _causal_pairs(nq, nk, block_q, block_k, seq_q, seq_kv,
+                  kv_major=False):
+    """Enumerate the LIVE (iq, ik) causal block pairs.
+
+    A rectangular (nq, nk) grid pays full grid-step overhead AND the
+    k/v block DMAs for every dead above-diagonal block — `pl.when` only
+    skips compute.  Packing the live pairs into a 1-D grid indexed
+    through scalar-prefetch tables removes ~(1 - (nq+1)/2nq) of the
+    steps outright (s=2048 @ 512^2 blocks: 16 -> 10 pairs).
+
+    Returns int32 arrays (iq_t, ik_t, first_t, last_t) where first/last
+    flag the first/last pair of each OUTPUT block's visit run —
+    kv-major order (dk/dv kernel) groups by ik, q-major by iq."""
+    off = seq_kv - seq_q
+    rows = []
+    for iq in range(nq):
+        q_end = iq * block_q + (block_q - 1) + off
+        live = [ik for ik in range(nk) if ik * block_k <= q_end]
+        if not live:
+            live = [0]     # fully-padded q tail: keep the output written
+        rows.append(live)
+    pairs = []
+    if kv_major:
+        for ik in range(nk):
+            qs = [iq for iq in range(nq) if ik in rows[iq]]
+            if not qs:
+                qs = [nq - 1]
+            for p, iq in enumerate(qs):
+                pairs.append((iq, ik, p == 0, p == len(qs) - 1))
+    else:
+        for iq in range(nq):
+            for p, ik in enumerate(rows[iq]):
+                pairs.append((iq, ik, p == 0, p == len(rows[iq]) - 1))
+    arr = np.array(pairs, np.int32)
+    return arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
+
+
 # ---------------------------------------------------------------- forward
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
-                acc, m_scr, l_scr, *, scale, causal, block_q, block_k,
-                num_kv_blocks, seq_q, seq_kv, hb):
+def _fwd_kernel(*refs, scale, causal, block_q, block_k,
+                num_kv_blocks, seq_q, seq_kv, hb, packed):
     """Tiled online-softmax forward with `hb` heads batched per block.
 
     One batch-head per grid step (hb=1) starves the MXU and is
@@ -189,21 +228,38 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     (benchmarks/exp_flash_768.py).  Batching heads into the block —
     the same trick as the whole-kv encoder kernel above — cuts grid
     steps by hb and feeds the MXU hb-batched (block_q x d) @ (d x
-    block_k) dots."""
-    ik = pl.program_id(3)
-    iq = pl.program_id(2)
+    block_k) dots.
 
-    @pl.when(ik == 0)
+    ``packed=True`` (causal): the grid is the 1-D list of LIVE causal
+    block pairs (see _causal_pairs); iq/ik come from scalar-prefetch
+    tables and every step does real work."""
+    if packed:
+        (iq_t, ik_t, first_t, last_t,
+         q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+         acc, m_scr, l_scr) = refs
+        j = pl.program_id(2)
+        iq, ik = iq_t[j], ik_t[j]
+        is_first, is_last = first_t[j] == 1, last_t[j] == 1
+    else:
+        (q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+         acc, m_scr, l_scr) = refs
+        ik = pl.program_id(3)
+        iq = pl.program_id(2)
+        is_first = ik == 0
+        is_last = ik == num_kv_blocks - 1
+
+    @pl.when(is_first)
     def _init():
         acc[:] = jnp.zeros_like(acc)
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
     # causal block skipping: a kv block strictly above the diagonal of
-    # this q block is fully masked — skip all its compute
+    # this q block is fully masked — skip all its compute (packed grids
+    # contain no dead pairs, so block_live folds to True there)
     if causal:
         q_end = iq * block_q + (block_q - 1) + (seq_kv - seq_q)
-        block_live = ik * block_k <= q_end
+        block_live = True if packed else (ik * block_k <= q_end)
         # blocks strictly below the diagonal of the FIRST row of this q
         # block need no causal masking at all
         q_start = iq * block_q + (seq_kv - seq_q)
@@ -262,7 +318,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         s = jnp.where(valid, s, NEG_INF)
         _update(s, p_valid=valid)
 
-    @pl.when(ik == num_kv_blocks - 1)
+    @pl.when(is_last)
     def _finalize():
         l = l_scr[:, :, :1]
         safe_l = jnp.where(l > 0.0, l, 1.0)
@@ -312,38 +368,79 @@ def _fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, num_kv_blocks=nk, seq_q=sq, seq_kv=skv, hb=hb)
+        block_k=block_k, num_kv_blocks=nk, seq_q=sq, seq_kv=skv, hb=hb,
+        packed=causal)
 
-    out, lse = pl.pallas_call(
-        kernel,
-        grid=(b, h // hb, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, hb, block_q, d),
-                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, hb, block_k, d),
-                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
-            pl.BlockSpec((1, hb, block_k, d),
-                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
-            pl.BlockSpec((1, 1, block_k),
-                         lambda ib, ih, iq, ik: (ib, 0, ik)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, hb, block_q, d),
-                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, hb, block_q, 128),
-                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq_p, 128), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((hb, block_q, d), jnp.float32),
-            pltpu.VMEM((hb, block_q, 128), jnp.float32),
-            pltpu.VMEM((hb, block_q, 128), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qp, kp, vp, maskp)
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        jax.ShapeDtypeStruct((b, h, sq_p, 128), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((hb, block_q, d), jnp.float32),
+        pltpu.VMEM((hb, block_q, 128), jnp.float32),
+        pltpu.VMEM((hb, block_q, 128), jnp.float32),
+    ]
+    if causal:
+        # live-pair packed grid: dead above-diagonal blocks never get a
+        # grid step (nor their k/v DMAs) — ~37% fewer steps at s=2048
+        iq_t, ik_t, fi_t, la_t = _causal_pairs(nq, nk, block_q, block_k,
+                                               sq, skv)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b, h // hb, len(iq_t)),
+            in_specs=[
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, iq[j], 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, ik[j], 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, ik[j], 0)),
+                pl.BlockSpec((1, 1, block_k),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, 0, ik[j])),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, iq[j], 0)),
+                pl.BlockSpec((1, hb, block_q, 128),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, iq[j], 0)),
+            ],
+            scratch_shapes=scratch_shapes,
+        )
+        out, lse = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(jnp.asarray(iq_t), jnp.asarray(ik_t), jnp.asarray(fi_t),
+          jnp.asarray(la_t), qp, kp, vp, maskp)
+    else:
+        out, lse = pl.pallas_call(
+            kernel,
+            grid=(b, h // hb, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+                pl.BlockSpec((1, 1, block_k),
+                             lambda ib, ih, iq, ik: (ib, 0, ik)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+                pl.BlockSpec((1, hb, block_q, 128),
+                             lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            ],
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(qp, kp, vp, maskp)
 
     out = out[:, :, :sq]
     lse = lse[:, :, :sq, 0]
@@ -352,20 +449,31 @@ def _fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
 
 # ---------------------------------------------------------------- backward
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal,
-                    block_q, block_k, num_q_blocks, seq_q, seq_kv, hb):
-    iq = pl.program_id(3)
-    ik = pl.program_id(2)
+def _bwd_dkv_kernel(*refs, scale, causal, block_q, block_k,
+                    num_q_blocks, seq_q, seq_kv, hb, packed):
+    if packed:
+        (iq_t, ik_t, first_t, last_t,
+         q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        j = pl.program_id(2)
+        iq, ik = iq_t[j], ik_t[j]
+        is_first, is_last = first_t[j] == 1, last_t[j] == 1
+    else:
+        (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        iq = pl.program_id(3)
+        ik = pl.program_id(2)
+        is_first = iq == 0
+        is_last = iq == num_q_blocks - 1
 
-    @pl.when(iq == 0)
+    @pl.when(is_first)
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     if causal:
         q_end = iq * block_q + (block_q - 1) + (seq_kv - seq_q)
-        block_live = ik * block_k <= q_end
+        block_live = True if packed else (ik * block_k <= q_end)
         q_start = iq * block_q + (seq_kv - seq_q)
         crosses_diag = ik * block_k + (block_k - 1) > q_start
     else:
@@ -414,25 +522,36 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         _accumulate(jnp.where(valid[None],
                               jnp.exp(s - lse_ref[0][:, :, :1]), 0.0))
 
-    @pl.when(iq == num_q_blocks - 1)
+    @pl.when(is_last)
     def _finalize():
         dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, dq_acc, *, scale, causal, block_q, block_k,
-                   num_kv_blocks, seq_q, seq_kv, hb):
-    ik = pl.program_id(3)
-    iq = pl.program_id(2)
+def _bwd_dq_kernel(*refs, scale, causal, block_q, block_k,
+                   num_kv_blocks, seq_q, seq_kv, hb, packed):
+    if packed:
+        (iq_t, ik_t, first_t, last_t,
+         q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_acc) = refs
+        j = pl.program_id(2)
+        iq, ik = iq_t[j], ik_t[j]
+        is_first, is_last = first_t[j] == 1, last_t[j] == 1
+    else:
+        (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_acc) = refs
+        ik = pl.program_id(3)
+        iq = pl.program_id(2)
+        is_first = ik == 0
+        is_last = ik == num_kv_blocks - 1
 
-    @pl.when(ik == 0)
+    @pl.when(is_first)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
     if causal:
         q_end = iq * block_q + (block_q - 1) + (seq_kv - seq_q)
-        block_live = ik * block_k <= q_end
+        block_live = True if packed else (ik * block_k <= q_end)
         q_start = iq * block_q + (seq_kv - seq_q)
         crosses_diag = ik * block_k + (block_k - 1) > q_start
     else:
@@ -475,7 +594,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         _accumulate(jnp.where(valid[None],
                               jnp.exp(s - lse_ref[0][:, :, :1]), 0.0))
 
-    @pl.when(ik == num_kv_blocks - 1)
+    @pl.when(is_last)
     def _finalize():
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
@@ -511,71 +630,164 @@ def _bwd(causal, scale, block_q, block_k, interpret, res, g):
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, num_q_blocks=nq, seq_q=sq, seq_kv=skv, hb=hb)
-    dk, dv = pl.pallas_call(
-        dkv_kernel,
-        grid=(b, h // hb, nk, nq),
-        in_specs=[
-            pl.BlockSpec((1, hb, block_q, d),
-                         lambda ib, ih, ik, iq: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, hb, block_k, d),
-                         lambda ib, ih, ik, iq: (ib, ih, ik, 0)),
-            pl.BlockSpec((1, hb, block_k, d),
-                         lambda ib, ih, ik, iq: (ib, ih, ik, 0)),
-            pl.BlockSpec((1, 1, block_k),
-                         lambda ib, ih, ik, iq: (ib, 0, ik)),
-            pl.BlockSpec((1, hb, block_q, d),
-                         lambda ib, ih, ik, iq: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, hb, block_q, 128),
-                         lambda ib, ih, ik, iq: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, hb, block_q, 128),
-                         lambda ib, ih, ik, iq: (ib, ih, iq, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, hb, block_k, d),
-                         lambda ib, ih, ik, iq: (ib, ih, ik, 0)),
-            pl.BlockSpec((1, hb, block_k, d),
-                         lambda ib, ih, ik, iq: (ib, ih, ik, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, skv_p, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, skv_p, d), v.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((hb, block_k, d), jnp.float32),
-            pltpu.VMEM((hb, block_k, d), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qp, kp, vp, maskp, dop, lse_t, delta_t)
+        block_k=block_k, num_q_blocks=nq, seq_q=sq, seq_kv=skv, hb=hb,
+        packed=causal)
+    dkv_out_shape = [
+        jax.ShapeDtypeStruct((b, h, skv_p, d), k.dtype),
+        jax.ShapeDtypeStruct((b, h, skv_p, d), v.dtype),
+    ]
+    dkv_scratch = [
+        pltpu.VMEM((hb, block_k, d), jnp.float32),
+        pltpu.VMEM((hb, block_k, d), jnp.float32),
+    ]
+    if causal:
+        # kv-major live-pair packing (see _causal_pairs): each dk/dv
+        # block accumulates over only its live q blocks
+        iq_t, ik_t, fi_t, la_t = _causal_pairs(
+            nq, nk, block_q, block_k, sq, skv, kv_major=True)
+        dkv_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b, h // hb, len(iq_t)),
+            in_specs=[
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, iq[j], 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, ik[j], 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, ik[j], 0)),
+                pl.BlockSpec((1, 1, block_k),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, 0, ik[j])),
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, iq[j], 0)),
+                pl.BlockSpec((1, hb, block_q, 128),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, iq[j], 0)),
+                pl.BlockSpec((1, hb, block_q, 128),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, iq[j], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, ik[j], 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, ik[j], 0)),
+            ],
+            scratch_shapes=dkv_scratch,
+        )
+        dk, dv = pl.pallas_call(
+            dkv_kernel, grid_spec=dkv_spec, out_shape=dkv_out_shape,
+            interpret=interpret,
+        )(jnp.asarray(iq_t), jnp.asarray(ik_t), jnp.asarray(fi_t),
+          jnp.asarray(la_t), qp, kp, vp, maskp, dop, lse_t, delta_t)
+    else:
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid=(b, h // hb, nk, nq),
+            in_specs=[
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, ik, iq: (ib, ih, iq, 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, ik, iq: (ib, ih, ik, 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, ik, iq: (ib, ih, ik, 0)),
+                pl.BlockSpec((1, 1, block_k),
+                             lambda ib, ih, ik, iq: (ib, 0, ik)),
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, ik, iq: (ib, ih, iq, 0)),
+                pl.BlockSpec((1, hb, block_q, 128),
+                             lambda ib, ih, ik, iq: (ib, ih, iq, 0)),
+                pl.BlockSpec((1, hb, block_q, 128),
+                             lambda ib, ih, ik, iq: (ib, ih, iq, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, ik, iq: (ib, ih, ik, 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, ik, iq: (ib, ih, ik, 0)),
+            ],
+            out_shape=dkv_out_shape,
+            scratch_shapes=dkv_scratch,
+            interpret=interpret,
+        )(qp, kp, vp, maskp, dop, lse_t, delta_t)
 
     dq_kernel = functools.partial(
         _bwd_dq_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, num_kv_blocks=nk, seq_q=sq, seq_kv=skv, hb=hb)
-    dq = pl.pallas_call(
-        dq_kernel,
-        grid=(b, h // hb, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, hb, block_q, d),
-                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, hb, block_k, d),
-                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
-            pl.BlockSpec((1, hb, block_k, d),
-                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
-            pl.BlockSpec((1, 1, block_k),
-                         lambda ib, ih, iq, ik: (ib, 0, ik)),
-            pl.BlockSpec((1, hb, block_q, d),
-                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, hb, block_q, 128),
-                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-            pl.BlockSpec((1, hb, block_q, 128),
-                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, hb, block_q, d),
-                               lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((hb, block_q, d), jnp.float32)],
-        interpret=interpret,
-    )(qp, kp, vp, maskp, dop, lse_t, delta_t)
+        block_k=block_k, num_kv_blocks=nk, seq_q=sq, seq_kv=skv, hb=hb,
+        packed=causal)
+    dq_out_shape = jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype)
+    dq_scratch = [pltpu.VMEM((hb, block_q, d), jnp.float32)]
+    if causal:
+        iq_t, ik_t, fi_t, la_t = _causal_pairs(nq, nk, block_q, block_k,
+                                               sq, skv)
+        dq_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b, h // hb, len(iq_t)),
+            in_specs=[
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, iq[j], 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, ik[j], 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, ik[j], 0)),
+                pl.BlockSpec((1, 1, block_k),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, 0, ik[j])),
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, iq[j], 0)),
+                pl.BlockSpec((1, hb, block_q, 128),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, iq[j], 0)),
+                pl.BlockSpec((1, hb, block_q, 128),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, iq[j], 0)),
+            ],
+            out_specs=pl.BlockSpec((1, hb, block_q, d),
+                                   lambda ib, ih, j, iq, ik, f, l:
+                                   (ib, ih, iq[j], 0)),
+            scratch_shapes=dq_scratch,
+        )
+        dq = pl.pallas_call(
+            dq_kernel, grid_spec=dq_spec, out_shape=dq_out_shape,
+            interpret=interpret,
+        )(jnp.asarray(iq_t), jnp.asarray(ik_t), jnp.asarray(fi_t),
+          jnp.asarray(la_t), qp, kp, vp, maskp, dop, lse_t, delta_t)
+    else:
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid=(b, h // hb, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+                pl.BlockSpec((1, hb, block_k, d),
+                             lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+                pl.BlockSpec((1, 1, block_k),
+                             lambda ib, ih, iq, ik: (ib, 0, ik)),
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+                pl.BlockSpec((1, hb, block_q, 128),
+                             lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+                pl.BlockSpec((1, hb, block_q, 128),
+                             lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, hb, block_q, d),
+                                   lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            out_shape=dq_out_shape,
+            scratch_shapes=dq_scratch,
+            interpret=interpret,
+        )(qp, kp, vp, maskp, dop, lse_t, delta_t)
 
     dq = dq[:, :, :sq]
     dk = dk[:, :, :skv]
