@@ -36,6 +36,10 @@ from groma_tpu.constants import IGNORE_INDEX
 from groma_tpu.data.tokenization import SpecialIds, expand_template
 from groma_tpu.models.groma import GromaModel
 
+# heavyweight tier (round-5 verdict #7): run with -m slow; the
+# default tier must stay <5 min
+pytestmark = pytest.mark.slow
+
 SEED = 0
 VIT_D, VIT_L, VIT_H = 64, 4, 4
 DD_D, DD_Q, DD_L, DD_H, DD_F = 64, 24, 2, 4, 128
@@ -44,21 +48,22 @@ IMG = 448
 SP = SpecialIds.from_base_vocab(LLM_V)
 
 
-def _build_reference_model():
+def _build_reference_model(dd_q=DD_Q, max_region_num=10,
+                           max_pos=512):
     ref_groma = load_reference_groma()
     torch.manual_seed(SEED)
     cfg = ref_groma.GromaConfig(
         llm_cfg=dict(vocab_size=LLM_V, hidden_size=LLM_D,
                      intermediate_size=LLM_I, num_hidden_layers=LLM_L,
                      num_attention_heads=LLM_H, num_key_value_heads=LLM_H,
-                     max_position_embeddings=512, rms_norm_eps=1e-5,
+                     max_position_embeddings=max_pos, rms_norm_eps=1e-5,
                      attention_dropout=0.0),
         perceiver_cfg=dict(
             vis_encoder_cfg=dict(hidden_size=VIT_D, num_hidden_layers=VIT_L,
                                  num_attention_heads=VIT_H, mlp_ratio=4,
                                  patch_size=14, image_size=IMG,
                                  layerscale_value=1.0),
-            ddetr_cfg=dict(d_model=DD_D, num_queries=DD_Q,
+            ddetr_cfg=dict(d_model=DD_D, num_queries=dd_q,
                            encoder_layers=DD_L, decoder_layers=DD_L,
                            encoder_attention_heads=DD_H,
                            decoder_attention_heads=DD_H,
@@ -66,11 +71,11 @@ def _build_reference_model():
                            num_feature_levels=1, encoder_n_points=4,
                            decoder_n_points=4, two_stage=True,
                            with_box_refine=True,
-                           two_stage_num_proposals=DD_Q, num_labels=1,
+                           two_stage_num_proposals=dd_q, num_labels=1,
                            dropout=0.0, activation_dropout=0.0,
                            attention_dropout=0.0, auxiliary_loss=False)),
         num_new_token=114, nms_thres=0.6, box_score_thres=0.15,
-        max_region_num=10)
+        max_region_num=max_region_num)
     model = ref_groma.GromaModel(cfg).eval()
     # The reference hardcodes the region up-projection at 1024->4096
     # (reference: groma/model/roi_align.py:264 updims); retarget it to the
@@ -95,10 +100,10 @@ def _build_reference_model():
     return model
 
 
-def _my_config(max_region_num):
+def _my_config(max_region_num, dd_q=DD_Q, max_seq_len=352, max_pos=512):
     vit = ViTConfig(hidden_size=VIT_D, num_layers=VIT_L, num_heads=VIT_H,
                     patch_size=14, image_size=IMG, dtype='float32')
-    ddetr = DDETRConfig(d_model=DD_D, num_queries=DD_Q, encoder_layers=DD_L,
+    ddetr = DDETRConfig(d_model=DD_D, num_queries=dd_q, encoder_layers=DD_L,
                         decoder_layers=DD_L, num_heads=DD_H, ffn_dim=DD_F,
                         num_feature_levels=1, enc_n_points=4, dec_n_points=4,
                         dropout=0.0, dtype='float32')
@@ -106,11 +111,11 @@ def _my_config(max_region_num):
     llm = MyLlamaConfig(vocab_size=LLM_V, hidden_size=LLM_D,
                         intermediate_size=LLM_I, num_layers=LLM_L,
                         num_heads=LLM_H, num_kv_heads=LLM_H,
-                        max_position_embeddings=512, dtype='float32')
+                        max_position_embeddings=max_pos, dtype='float32')
     return GromaConfig(llm=llm, perceiver=perceiver, num_new_token=114,
                        max_region_num=max_region_num, num_image_tokens=256,
-                       max_seq_len=352, region_roi_out=14, region_num_fuse=5,
-                       region_gn_groups=64)
+                       max_seq_len=max_seq_len, region_roi_out=14,
+                       region_num_fuse=5, region_gn_groups=64)
 
 
 def _run_reference(model, image_nchw, ids, labels=None, refer_boxes=None,
@@ -269,4 +274,59 @@ def test_full_model_partial_region_occupancy(ref_and_params, image):
     logit_m = np.asarray(mine['logits'][0])[valid]
     assert valid.sum() == logit_t.shape[0]
     np.testing.assert_allclose(logit_m, logit_t, atol=5e-4)
+    assert (logit_m.argmax(-1) == logit_t.argmax(-1)).all()
+
+
+def test_full_geometry_parity(image):
+    """PRODUCTION-GEOMETRY parity (round-5 verdict #4): the shipped
+    448^2 / 1025-token ViT / 300-query / 100-region-slot / >=600-token
+    stream, with only depth/width reduced.  This pins the index
+    arithmetic (proposal pool -> NMS tie-breaking over 300 boxes ->
+    100-slot fixed layout -> long-stream token surgery) at the exact
+    shapes real REC evaluation runs (reference: groma/model/groma.py:
+    202-427; groma/train/train_det.py:41-45 num_queries=300)."""
+    DD_Q_FULL, REG_FULL, SEQ_FULL = 300, 100, 640
+    model = _build_reference_model(dd_q=DD_Q_FULL,
+                                   max_region_num=REG_FULL,
+                                   max_pos=1024)
+    sd = to_numpy_state_dict(model)
+    cfg = _my_config(max_region_num=REG_FULL, dd_q=DD_Q_FULL,
+                     max_seq_len=SEQ_FULL, max_pos=1024)
+    params = jax.tree_util.tree_map(jnp.asarray, import_groma(sd, cfg))
+
+    # a long mixed stream: prompt text, the image + region blocks, and
+    # a tail long enough that the expanded stream crosses 600 tokens
+    # (raw T + 454 post-expansion at 100 region slots)
+    rng = np.random.default_rng(SEED + 2)
+    head = list(rng.integers(4, LLM_V - 4, 40))
+    tail = list(rng.integers(4, LLM_V - 4, 130))
+    ids = [1, *head, SP.image, 7, SP.region, *tail, 2]
+    assert len(ids) + 454 >= 600
+
+    out = _run_reference(model, image, ids)
+    mine = _apply_mine(cfg, params, image, ids)
+
+    vis_t = out.hidden_states[1]
+    sel_t = vis_t['pred_boxes'][0].numpy()
+    mask_m = np.asarray(mine['vis']['selected_mask'][0])
+    sel_m = np.asarray(mine['vis']['selected_boxes'][0])[mask_m]
+    # the 300-query pool must under-fill the 100 slots through the same
+    # NMS path on both sides, box for box, in order
+    assert 0 < len(sel_t) <= REG_FULL
+    assert mask_m.sum() == len(sel_t), 'NMS survivor count differs'
+    np.testing.assert_allclose(sel_m, sel_t, atol=1e-6)
+
+    reg_t = vis_t['region_features'].numpy()
+    reg_m = np.asarray(mine['vis']['region_tokens'][0])[mask_m]
+    # fp32 accumulation-order noise grows with the RoI count (64+
+    # survivors here vs ~7 in the tiny cases): measured 1/6400 elements
+    # at 2.6e-3 with identical weights and identical boxes
+    np.testing.assert_allclose(reg_m, reg_t, atol=4e-3)
+
+    valid = np.asarray(mine['valid'][0])
+    logit_t = out.logits[0].numpy()
+    logit_m = np.asarray(mine['logits'][0])[valid]
+    assert valid.sum() == logit_t.shape[0], 'post-surgery length differs'
+    assert valid.sum() >= 600, 'stream must exercise >=600 tokens'
+    np.testing.assert_allclose(logit_m, logit_t, atol=1e-3)
     assert (logit_m.argmax(-1) == logit_t.argmax(-1)).all()
