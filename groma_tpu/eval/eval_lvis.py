@@ -36,8 +36,14 @@ def main():
     from groma_tpu.eval.lvis import evaluate_lvis
 
     model, params, cfg = load_groma(args.model_dir)
-    tokenizer = load_tokenizer(args.tokenizer or args.model_dir,
-                            cfg.max_seq_len)
+    if args.tokenizer == 'stub':
+        # checkpoint-free drill mode (see eval_rec.py)
+        from groma_tpu.data.tokenizer import StubTokenizer
+        tokenizer = StubTokenizer(base_vocab=cfg.llm.vocab_size,
+                                  model_max_length=cfg.max_seq_len)
+    else:
+        tokenizer = load_tokenizer(args.tokenizer or args.model_dir,
+                                   cfg.max_seq_len)
     spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
                       max_region_num=cfg.max_region_num,
                       max_seq_len=cfg.max_seq_len,

@@ -86,3 +86,92 @@ def merge_and_score(shard_dir: str, references: dict) -> dict:
             for k, v in references.items() if str(k) in candidates}
     candidates = {k: v for k, v in candidates.items() if k in refs}
     return score_captions(candidates, refs)
+
+
+def main():
+    """Region-captioning CLI: generate captions for each image's first
+    annotation box and score against the annotation 'caption' fields
+    (reference: groma/eval/model_vg.py CLI + eval_cap.py merge/score —
+    one COCO-format file where each image carries one refer box and
+    the ground-truth region description)."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--model-dir', required=True)
+    ap.add_argument('--img-prefix', required=True)
+    ap.add_argument('--ann-file', required=True)
+    ap.add_argument('--result-dir', required=True)
+    ap.add_argument('--tokenizer', default=None)
+    ap.add_argument('--limit', type=int, default=0)
+    ap.add_argument('--max-new-tokens', type=int, default=48)
+    args = ap.parse_args()
+
+    import jax
+
+    from groma_tpu.checkpoint.loader import load_groma
+    from groma_tpu.data.coco_index import CocoIndex
+    from groma_tpu.data.image_pipeline import (load_image, normalize,
+                                               resize,
+                                               xyxy_to_norm_cxcywh)
+    from groma_tpu.data.tokenizer import load_tokenizer
+
+    model, params, cfg = load_groma(args.model_dir)
+    if args.tokenizer == 'stub':
+        # checkpoint-free drill mode (see eval_rec.py)
+        from groma_tpu.data.tokenizer import StubTokenizer
+        tokenizer = StubTokenizer(base_vocab=cfg.llm.vocab_size,
+                                  model_max_length=cfg.max_seq_len)
+    else:
+        tokenizer = load_tokenizer(args.tokenizer or args.model_dir,
+                                   cfg.max_seq_len)
+    spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
+                      max_region_num=cfg.max_region_num,
+                      max_seq_len=cfg.max_seq_len,
+                      image_size=cfg.perceiver.image_size)
+    gen = Generator(model, params, max_len=cfg.max_seq_len + 16)
+
+    coco = CocoIndex(args.ann_file)
+    img_ids = coco.get_img_ids()
+    if args.limit:
+        img_ids = img_ids[:args.limit]
+    rank, world = jax.process_index(), jax.process_count()
+    shard_ids = img_ids[rank::world]
+
+    def samples():
+        for iid in shard_ids:
+            info = coco.load_img(iid)
+            anns = coco.get_anns(iid)
+            if not anns:
+                continue
+            img = load_image(os.path.join(args.img_prefix,
+                                          info['file_name']))
+            img448, _ = resize(img, (spec.image_size,) * 2)
+            x, y, w, h = anns[0]['bbox']
+            box = np.array([[x, y, x + w, y + h]], np.float32)
+            scale = np.array([spec.image_size / info['width'],
+                              spec.image_size / info['height']] * 2,
+                             np.float32)
+            rb = xyxy_to_norm_cxcywh(box * scale,
+                                     (spec.image_size, spec.image_size))
+            yield {'image': normalize(img448), 'sample_id': iid,
+                   'refer_box': rb[0]}
+
+    generate_region_captions(gen, samples(), tokenizer, spec,
+                             args.result_dir,
+                             max_new_tokens=args.max_new_tokens,
+                             rank=rank)
+    if rank == 0:
+        # references: annotation (region description) or image caption
+        refs = {}
+        for iid in img_ids:
+            anns = coco.get_anns(iid)
+            cap = (anns[0].get('caption') if anns else None) \
+                or coco.load_img(iid).get('caption')
+            if cap:
+                refs[iid] = [cap]
+        print(json.dumps(merge_and_score(args.result_dir, refs),
+                         indent=2))
+
+
+if __name__ == '__main__':
+    main()
