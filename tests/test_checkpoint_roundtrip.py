@@ -10,8 +10,10 @@ from groma_tpu.checkpoint.loader import load_groma, _dummy_batch
 from groma_tpu.checkpoint.orbax_io import export_params
 from groma_tpu.config import tiny_groma_config
 from groma_tpu.models.groma import GromaModel
+import pytest
 
 
+@pytest.mark.slow
 def test_export_load_generate_roundtrip(rng, tmp_path):
     cfg = tiny_groma_config()
     model = GromaModel(cfg)
@@ -48,6 +50,7 @@ def test_export_load_generate_roundtrip(rng, tmp_path):
     assert tokens.shape[0] == 1
 
 
+@pytest.mark.slow
 def test_hf_export_import_roundtrip(tmp_path):
     """export_groma (flax -> reference state dict) is the exact inverse
     of import_groma: the round trip reproduces every leaf bit-for-bit,

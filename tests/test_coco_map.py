@@ -3,6 +3,7 @@
 import numpy as np
 
 from groma_tpu.eval.coco_map import DetectionEvaluator
+import pytest
 
 
 def test_perfect_detection_ap1():
@@ -61,6 +62,7 @@ def test_greedy_matching_prefers_higher_score():
     assert out['AP50'] == 1.0
 
 
+@pytest.mark.slow
 def test_det_post_process_and_eval(rng):
     import jax
     import jax.numpy as jnp

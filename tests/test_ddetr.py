@@ -11,6 +11,7 @@ from groma_tpu.models.ddetr import (DDETRTransformer, EncoderLayer,
                                     encoder_reference_points)
 from groma_tpu.models.ddetr_loss import ddetr_loss
 from groma_tpu.models.layers import sine_position_embedding_2d
+import pytest
 from groma_tpu.checkpoint.hf_import import (import_ddetr_transformer,
                                             to_numpy_state_dict, _msda, _ln,
                                             _dense)
@@ -36,6 +37,7 @@ def _hf_encoder():
     return enc
 
 
+@pytest.mark.slow
 def test_encoder_matches_hf(rng):
     enc = _hf_encoder()
     sd = to_numpy_state_dict(enc)
@@ -109,6 +111,7 @@ def test_box_refinement_chaining(rng):
         np.asarray(out['intermediate_reference_points'][:, 0]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ddetr_loss_finite_and_grad(rng):
     model, params, srcs = _init_transformer(rng)
     tmax = 5

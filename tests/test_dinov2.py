@@ -6,6 +6,7 @@ import torch
 
 from groma_tpu.config import ViTConfig
 from groma_tpu.models.dinov2 import Dinov2Model
+import pytest
 from groma_tpu.checkpoint.hf_import import (
     import_dinov2, to_numpy_state_dict, interpolate_pos_embed)
 
@@ -21,6 +22,7 @@ def _torch_model():
     return TorchDinov2(cfg).eval()
 
 
+@pytest.mark.slow
 def test_dinov2_matches_hf(rng):
     tm = _torch_model()
     cfg = ViTConfig(hidden_size=32, num_layers=2, num_heads=4, patch_size=14,
@@ -57,6 +59,7 @@ def test_pos_embed_bicubic_matches_torch(rng):
     np.testing.assert_allclose(got[:, :1], pos[:, :1], atol=0)
 
 
+@pytest.mark.slow
 def test_dinov2_remat_matches(rng):
     """remat=True (gradient checkpointing) changes memory, not values
     or gradients (SURVEY §2.8 gradient-checkpointing row)."""

@@ -21,6 +21,10 @@ from groma_tpu.eval.rec import build_rec_prompt
 from groma_tpu.models.groma import GromaModel
 from groma_tpu.serve.engine import BatchEngine
 
+# heavyweight tier (round-5 verdict #7): run with -m slow; the
+# default tier must stay <5 min
+pytestmark = pytest.mark.slow
+
 CFG = tiny_groma_config()
 SPEC = VLDataSpec(num_image_tokens=CFG.num_image_tokens,
                   max_region_num=CFG.max_region_num,

@@ -78,6 +78,7 @@ def test_bf16_hidden_close(rng):
                                rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_groma_model_fused_matches_unfused(rng):
     """Model-level: fused_ce=True/False produce the same loss and the
     same trainable grads on the tiny Groma."""

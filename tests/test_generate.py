@@ -12,6 +12,10 @@ from groma_tpu.eval.generate import Generator, parse_region_tokens
 from groma_tpu.eval.rec import RECMetrics, build_rec_prompt, evaluate_rec
 from groma_tpu.models.groma import GromaModel
 
+# heavyweight tier (round-5 verdict #7): the module fixture
+# alone costs minutes; run with -m slow
+pytestmark = pytest.mark.slow
+
 CFG = tiny_groma_config()
 SPEC = VLDataSpec(num_image_tokens=CFG.num_image_tokens,
                   max_region_num=CFG.max_region_num,

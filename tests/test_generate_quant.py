@@ -5,6 +5,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# heavyweight tier (round-5 verdict #7): run with -m slow; the
+# default tier must stay <5 min
+pytestmark = pytest.mark.slow
+
 from groma_tpu.config import tiny_groma_config
 from groma_tpu.data.datasets.base import VLDataSpec
 from groma_tpu.data.tokenizer import StubTokenizer

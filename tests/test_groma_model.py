@@ -12,6 +12,10 @@ from groma_tpu.constants import IGNORE_INDEX
 from groma_tpu.data.tokenization import SpecialIds, expand_template
 from groma_tpu.models.groma import GromaModel
 
+# heavyweight tier (round-5 verdict #7): the module fixture
+# alone costs minutes; run with -m slow
+pytestmark = pytest.mark.slow
+
 CFG = tiny_groma_config()
 SP = SpecialIds.from_base_vocab(CFG.llm.vocab_size)
 
@@ -48,6 +52,7 @@ def model_and_params():
     return model, params
 
 
+@pytest.mark.slow
 def test_train_forward_loss_and_grads(rng, model_and_params):
     model, params = model_and_params
     b = 2

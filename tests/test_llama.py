@@ -8,6 +8,7 @@ import torch
 from groma_tpu.config import LlamaConfig
 from groma_tpu.models.llama import LlamaForCausalLM, LlamaModel, make_kv_cache
 from groma_tpu.checkpoint.hf_import import import_llama, to_numpy_state_dict
+import pytest
 
 CFG = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
                   num_layers=2, num_heads=4, num_kv_heads=4,
@@ -25,6 +26,7 @@ def _torch_model():
     return TLM(tcfg).eval()
 
 
+@pytest.mark.slow
 def test_llama_logits_match_hf(rng):
     tm = _torch_model()
     params = import_llama(to_numpy_state_dict(tm), num_layers=2)
@@ -47,6 +49,7 @@ def test_llama_logits_match_hf(rng):
     np.testing.assert_allclose(got[mask], want[mask], atol=3e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_llama_kv_cache_decode_matches_full_forward(rng):
     tm = _torch_model()
     params = import_llama(to_numpy_state_dict(tm), num_layers=2)
@@ -97,6 +100,7 @@ def test_llama_midsequence_padding_equals_compacted(rng):
                                np.asarray(out_compact)[0], atol=2e-4)
 
 
+@pytest.mark.slow
 def test_remat_policies_equal_gradients(rng):
     """remat=True with policy 'full' vs 'attn' (save attention outputs)
     must produce identical loss and gradients — the policy only changes

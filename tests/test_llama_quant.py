@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from groma_tpu.config import LlamaConfig
 from groma_tpu.models.llama import LlamaForCausalLM, make_kv_cache
@@ -60,6 +61,7 @@ def test_quant_cache_decode(rng):
                                    np.asarray(full_h[:, t]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_int8_kv_cache_decode_close(rng):
     """int8 KV cache decode (int8 x int8 score + p-requant output dots)
     tracks the bf16/f32-cache decode within quantization noise."""
@@ -143,16 +145,19 @@ def _chunk_vs_oneshot(rng, kv8, chunk_sizes):
                 atol=1e-5, err_msg=f'chunk={c} kv8={kv8}')
 
 
+@pytest.mark.slow
 def test_chunked_prefill_matches_oneshot(rng):
     """Any chunking of the same stream == one-shot prefill (hidden states
     at valid positions and cache contents)."""
     _chunk_vs_oneshot(rng, kv8=False, chunk_sizes=(1, 3, 4, 5, 12))
 
 
+@pytest.mark.slow
 def test_chunked_prefill_matches_oneshot_int8_kv(rng):
     _chunk_vs_oneshot(rng, kv8=True, chunk_sizes=(4, 5))
 
 
+@pytest.mark.slow
 def test_w8a8_prefill_close_to_weight_only(rng):
     """W8A8 prefill (int8 activations on the double-rate MXU path) must
     track the weight-only int8 prefill closely on a tiny model; decode
@@ -182,6 +187,7 @@ def test_w8a8_prefill_close_to_weight_only(rng):
     assert np.isfinite(np.asarray(h1)).all()
 
 
+@pytest.mark.slow
 def test_bf16_tree_matches_flax(rng):
     """bits=16 fused tree: same forward as the flax model up to bf16
     rounding in the fused weight streams (no quantization noise)."""
@@ -209,6 +215,7 @@ def test_bf16_tree_matches_flax(rng):
                                    np.asarray(full_h[:, t]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_vector_index_multitoken_append(rng):
     """Per-row multi-token append (engine speculative verify): rows with
     DIFFERENT cache indices appending s>1 tokens match the scalar

@@ -50,6 +50,7 @@ def _mk_paged(rng, b=2, h=4, np_=3, d=128, pool_pages=16):
     return contig, paged
 
 
+@pytest.mark.slow
 def test_reference_matches_contiguous_chain(rng):
     contig, paged = _mk_paged(rng)
     want = np.asarray(_int8_cache_attention(*contig))
@@ -112,6 +113,7 @@ def test_insert_prefill_pages_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(pools['k'][0][1]), 0)
 
 
+@pytest.mark.slow
 def test_paged_decode_matches_vector_index_decode(rng):
     """quant_llama_decode_paged == the engine's contiguous vector-index
     decode, token for token, on a tiny model."""

@@ -11,6 +11,7 @@ import torch.nn.functional as F
 from groma_tpu.config import DDETRConfig, PerceiverConfig, ViTConfig
 from groma_tpu.models.perceiver import InputProj, Perceiver
 from groma_tpu.checkpoint.hf_import import import_input_proj
+import pytest
 
 D = 16  # d_model
 
@@ -99,6 +100,7 @@ def test_input_proj_importer_matches_torch(rng):
                                    err_msg=f'recipe {r}')
 
 
+@pytest.mark.slow
 def test_perceiver_four_level_forward(rng):
     vit = ViTConfig(hidden_size=32, num_layers=2, num_heads=4,
                     patch_size=14, image_size=112, dtype='float32')

@@ -75,6 +75,7 @@ def test_nf4_exact_codes():
     np.testing.assert_allclose(back, vals, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_quantize_llama_params_bits4(rng):
     from groma_tpu.config import LlamaConfig
     from groma_tpu.models.llama import LlamaForCausalLM

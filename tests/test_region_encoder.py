@@ -12,6 +12,7 @@ from groma_tpu.models.region_encoder import (
     RegionEncoder, resize_bilinear_align_corners)
 from groma_tpu.checkpoint.hf_import import import_region_encoder
 from groma_tpu.ops.roi_align import roi_align
+import pytest
 
 D = 32          # embed dims (divisible by 4; GN groups scaled down)
 NL = 3
@@ -126,6 +127,7 @@ def _torch_forward(sd, feats_tokens, boxes):
                     sd['roi_align.updims.bias'])
 
 
+@pytest.mark.slow
 def test_region_encoder_matches_torch_reference(rng):
     sd_t = _mk_weights(rng)
     sd = {k: v.numpy() for k, v in sd_t.items()}
@@ -156,6 +158,7 @@ def test_align_corners_resize_matches_torch(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_region_encoder_int8_close_to_float(rng):
     """quant=True (int8 x int8 fuse/pconv convs, ops/quant.w8a8_conv)
     must track the float path closely and reuse the IDENTICAL param tree

@@ -83,6 +83,7 @@ def test_lottery_dispatch():
     assert picks.count('b') > 120
 
 
+@pytest.mark.slow
 def test_worker_quant_engine_stream():
     """Tiny worker end to end over HTTP: continuous-batching engine +
     int8 weight-only LLM + chunked prefill (the new serving flags)."""
@@ -161,6 +162,7 @@ def test_web_ui_page_and_votes(tmp_path):
         httpd.shutdown()
 
 
+@pytest.mark.slow
 def test_worker_stop_string():
     """'stop' request param truncates generation at the stop string
     (reference: model_worker.py params['stop']).  The stub tokenizer

@@ -7,6 +7,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# heavyweight tier (round-5 verdict #7): run with -m slow; the
+# default tier must stay <5 min
+pytestmark = pytest.mark.slow
+
 from groma_tpu.parallel.mesh import (data_sharding, make_mesh, param_pspec,
                                      shard_params)
 

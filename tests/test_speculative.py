@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from groma_tpu.config import tiny_groma_config
 from groma_tpu.data.datasets.base import VLDataSpec
@@ -11,6 +12,10 @@ from groma_tpu.eval.generate_quant import QuantGenerator, quantize_groma_llm
 from groma_tpu.eval.rec import build_rec_prompt
 from groma_tpu.eval.speculative import propose_prompt_lookup
 from groma_tpu.models.groma import GromaModel
+
+# heavyweight tier (round-5 verdict #7): run with -m slow; the
+# default tier must stay <5 min
+pytestmark = pytest.mark.slow
 
 CFG = tiny_groma_config()
 SPEC = VLDataSpec(num_image_tokens=CFG.num_image_tokens,

@@ -25,6 +25,7 @@ def _leaf_equal(a, b):
                    jax.tree_util.tree_leaves(b)))
 
 
+@pytest.mark.slow
 def test_det_train_step(rng):
     model = Perceiver(CFG.perceiver)
     img = jnp.asarray(rng.standard_normal((2, 56, 56, 3)), jnp.float32)
@@ -59,6 +60,7 @@ def test_det_train_step(rng):
                            new_state2.params['ddetr_transformer'])
 
 
+@pytest.mark.slow
 def test_vl_train_step_and_checkpoint(rng, tmp_path):
     sp = SpecialIds.from_base_vocab(CFG.llm.vocab_size)
     model = GromaModel(CFG)
@@ -111,6 +113,7 @@ def test_vl_train_step_and_checkpoint(rng, tmp_path):
     assert cfg2 == CFG
 
 
+@pytest.mark.slow
 def test_vl_train_step_with_flash_attention(rng):
     """The finetune stage's flash-attention training path (interpret mode
     on CPU) — replaces the reference's flash-attn monkey patch."""

@@ -20,6 +20,10 @@ from groma_tpu.models.groma import GromaModel
 from groma_tpu.train.optimizer import freeze_predicate, make_adamw
 from groma_tpu.train.steps import TrainState, make_vl_train_step
 
+# heavyweight tier (round-5 verdict #7): run with -m slow; the
+# default tier must stay <5 min
+pytestmark = pytest.mark.slow
+
 CFG = tiny_groma_config()
 
 
