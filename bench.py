@@ -43,6 +43,11 @@ def _run_sub(script, args=(), budget=420, min_needed=90):
         return []
     timeout = max(min(budget, rem - 30), 60)
     got = []
+    # children see their own hard deadline and trim their variant list
+    # to fit (r4: bench_train overran its budget and was killed mid-exit
+    # even though every metric had landed)
+    env = dict(os.environ)
+    env['GROMA_SUB_BUDGET'] = str(int(timeout))
 
     def _forward(stdout):
         for line in (stdout or '').splitlines():
@@ -71,7 +76,7 @@ def _run_sub(script, args=(), budget=420, min_needed=90):
         proc = subprocess.Popen(
             [sys.executable, '-u',
              os.path.join(HERE, 'benchmarks', script), *args],
-            stdout=fout, stderr=ferr, text=True)
+            stdout=fout, stderr=ferr, text=True, env=env)
         try:
             rc = proc.wait(timeout=timeout)
         except subprocess.TimeoutExpired:
@@ -114,18 +119,18 @@ def main():
     #    different ways.  Driver set is 2 variants at STEPS=128 (~150 s
     #    warm); 420 s covers a cold tunnel-side compile of both.
     run('decode', 'bench_decode_quant.py', budget=420)
-    # 3. end-to-end REC inference (round-3 note: a transient tunnel slow
-    #    compile blew a 200 s budget in the r03 driver run even though
-    #    the warm-cache runtime is ~50 s — keep 330 s)
-    run('e2e', 'bench_e2e.py', budget=330)
-    # 4. training (vl MFU depth series + det step)
-    run('train', 'bench_train.py', budget=330)
-    # 5. opt-in fast-path extensions, only if budget remains: int8 vision
-    #    convs and the w8a8+int8vision e2e configuration
+    # 3. end-to-end REC inference.  DEFAULT serving config = int8 vision
+    #    convs + w8a8 prefill (round-4 verdict #6: the measured-fastest
+    #    configuration is the benchmarked one, not a flag)
+    run('e2e', 'bench_e2e.py', ['--w8a8', '--int8vision'], budget=330)
+    # 4. training (vl MFU depth series + det step); the child reads
+    #    GROMA_SUB_BUDGET and trims its depth series to fit
+    run('train', 'bench_train.py', budget=420)
+    # 5. series-continuity extensions, only if budget remains: the int8
+    #    vision headline variant and the bf16 e2e point (r01-r04 series)
     run('vision_int8', 'bench_vision.py', ['--int8'], budget=240,
         min_needed=180)
-    run('e2e_int8', 'bench_e2e.py', ['--w8a8', '--int8vision'],
-        budget=240, min_needed=180)
+    run('e2e_bf16', 'bench_e2e.py', budget=240, min_needed=180)
     # 6. if the cold first attempt lost the headline (the vision compile
     #    can exceed its budget on an empty compile cache), retry with
     #    whatever budget remains — the first attempt's partial compiles

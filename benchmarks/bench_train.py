@@ -35,6 +35,16 @@ _cache.enable()
 
 PEAK_FLOPS = {'v5e': 197e12, 'v4': 275e12, 'v5p': 459e12}
 
+# the orchestrator (bench.py) exports this run's hard budget; trim the
+# variant list to fit instead of being killed mid-run (r4: the 330 s
+# timeout fired after all vl metrics had landed but before det ran)
+T0 = time.time()
+BUDGET = float(os.environ.get('GROMA_SUB_BUDGET', 1e9))
+
+
+def _left():
+    return BUDGET - (time.time() - T0)
+
 
 def _peak():
     gen = os.environ.get('PALLAS_AXON_TPU_GEN', 'v5e')
@@ -168,6 +178,13 @@ def bench_vl_depth_series(depths=(1, 2, 3, 6), batch=2, seq=2048, steps=8,
         depths, batch, seq, steps = (1, 2), 1, 128, 2
     pts = []
     for L in depths:
+        # keep at least 3 shallow anchors for the fit; drop deeper points
+        # when the budget will not cover ~compile + measure + the det
+        # family still to come
+        if len(pts) >= 3 and _left() < 60 + 15 * L:
+            print(f'# budget trim: skipping depth {L} '
+                  f'({_left():.0f}s left)', file=sys.stderr, flush=True)
+            break
         dt, flops, toks, mfu = bench_vl(layers=L, batch=batch, seq=seq,
                                         steps=steps, emit=False,
                                         optimizer=optimizer)
@@ -205,7 +222,7 @@ def bench_vl_depth_series(depths=(1, 2, 3, 6), batch=2, seq=2048, steps=8,
     print(json.dumps({
         'metric': 'vl_train_step_mfu', 'value': round(mfu32 * 100, 3),
         'unit': 'percent-of-peak', 'vs_baseline': round(mfu32 * 100, 3),
-        'depth_proxy': f'affine fit from depths {list(depths)} '
+        'depth_proxy': f'affine fit from depths {[int(l) for l in Ls]} '
                        f'({optimizer} state, 8 B/param); '
                        f'max fit residual {resid * 100:.1f}%'}), flush=True)
     # metric renamed from vl_train_tokens_per_sec (r03): the r02 artifact
@@ -287,6 +304,11 @@ if __name__ == '__main__':
     which = sys.argv[1] if len(sys.argv) > 1 else 'all'
     if which in ('all', 'vl'):
         bench_vl_depth_series()
+    # det runs BEFORE the optional adamfp32 point: r4's budget kill cost
+    # the det family entirely while the comparison point survived
+    if which in ('all', 'det') and _left() > 60:
+        bench_det()
+    if which in ('all', 'vl') and _left() > 75:
         # one fp32-Adam comparison point: the optimizer-update stream is
         # visible MFU (depth 3: 54.0% adam vs 51.3% adafactor measured
         # r4) — adafactor is the series optimizer only because its
@@ -301,7 +323,5 @@ if __name__ == '__main__':
                 'vs_baseline': round(mfu3 * 100, 3),
                 'depth_proxy': 'fp32 Adam (r03 series optimizer) at '
                                'depth 3 of 32'}), flush=True)
-    if which in ('all', 'det'):
-        bench_det()
     if which == 'vl2':   # single-depth quick mode (round-2 behavior)
         bench_vl()
