@@ -33,11 +33,13 @@ from groma_tpu.config import LlamaConfig
 from groma_tpu.ops.flash_attention import flash_attention
 
 # Below this many query tokens XLA's dense-attention fusion beats the
-# Pallas flash kernel at LLaMA-7B shapes (the (B,H,S,S) tensor is a small
-# transient and Mosaic block overheads dominate; flash q-blocks also pad
-# ragged lengths up).  Measured v5e b8/h32/d128 full 32-layer prefill:
-# s=640 XLA 494 ms vs flash 582; s=768 XLA 624 vs flash 673; s=2048 flash
-# wins (9.09 vs 13.9 ms/layer fwd) — benchmarks/exp_prefill_policy.py.
+# Pallas flash kernel IN-MODEL at LLaMA-7B shapes (r3 policy, re-verified
+# round 5 WITH the packed causal grids: w8a8 prefill at b8/s576 measured
+# 348.9 ms dense vs 365.9 ms flash, even though the ISOLATED kernel wins
+# 2.70 vs 4.02 ms/layer against an f32 reference — XLA fuses the bf16
+# dense chain with its neighbors, which the isolated probe cannot see).
+# benchmarks/exp_prefill_policy.py holds; at s>=2048 flash wins both
+# isolated and in-model.
 FLASH_MIN_SEQ = 1024
 
 

@@ -831,19 +831,26 @@ def flash_attention(q: jnp.ndarray,
     """Flash attention over (B, H, S, D) tensors with optional causal masking
     and a (B, S_kv) key validity mask.  Differentiable (custom VJP).
 
-    Default blocks are tuned for v5e with heads-batched grids
-    (benchmarks/exp_flash_768.py at b8/h32/d128): causal >=1k uses
-    512x512 (9.1 ms/layer fwd at s2048 vs 13.9 XLA dense; the hb=1
-    kernel ran 18.7), causal <1k uses 384x384 (2.28 ms at s768 vs 2.23
-    XLA dense but without the (B,H,S,S) score materialization; the old
-    128x128 default ran 5.98), bidirectional tiling keeps 128 (the
-    whole-kv kernel handles every <=4k-kv encoder shape anyway)."""
+    Default blocks are tuned for v5e with heads-batched PACKED causal
+    grids (round-5 sweep at b8/h32/d128, /tmp-probe results recorded in
+    ROADMAP.md): causal >=1k uses 256x512 (fwd+bwd s=2048: 25.3 ms vs
+    31.8 at the old 512x512 — the finer q tiling wastes less of the
+    diagonal), causal <1k uses one whole-seq 128-padded block per side
+    (s=576 fwd: 2.70 ms/layer vs 4.02 XLA dense — the packed grid
+    REVERSES the old dense-below-1k policy), bidirectional tiling keeps
+    128 (the whole-kv kernel handles every <=4k-kv encoder shape)."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
+
+    def _whole(n):
+        return min(pl.cdiv(n, 128) * 128, 1024)
+
     if block_q is None:
-        block_q = (512 if sq >= 1024 else 384) if causal else DEFAULT_BLOCK
+        block_q = (256 if sq >= 1024 else _whole(sq)) if causal \
+            else DEFAULT_BLOCK
     if block_k is None:
-        block_k = (512 if skv >= 1024 else 384) if causal else DEFAULT_BLOCK
+        block_k = (512 if skv >= 1024 else _whole(skv)) if causal \
+            else DEFAULT_BLOCK
     if scale is None:
         scale = d ** -0.5
     if kv_mask is None:
