@@ -127,8 +127,14 @@ def main():
     #    GROMA_SUB_BUDGET and trims its depth series to fit
     run('train', 'bench_train.py', budget=420)
     # 5. series-continuity extensions, only if budget remains: the int8
-    #    vision headline variant and the bf16 e2e point (r01-r04 series)
+    #    vision headline variant, the 64-region-slot SERVING config
+    #    (15.3 img/s measured; the protocol-default 100-slot config
+    #    above stays the comparable headline), and the bf16 e2e point
+    #    (r01-r04 series)
     run('vision_int8', 'bench_vision.py', ['--int8'], budget=240,
+        min_needed=180)
+    run('e2e_reg64', 'bench_e2e.py',
+        ['--w8a8', '--int8vision', '--regions=64'], budget=240,
         min_needed=180)
     run('e2e_bf16', 'bench_e2e.py', budget=240, min_needed=180)
     # 6. if the cold first attempt lost the headline (the vision compile

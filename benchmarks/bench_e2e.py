@@ -23,7 +23,7 @@ import _cache  # noqa: E402
 _cache.enable()
 
 
-def main(batch=1, w8a8=False, vision_int8=False):
+def main(batch=1, w8a8=False, vision_int8=False, regions=0):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -52,6 +52,14 @@ def main(batch=1, w8a8=False, vision_int8=False):
         decode_steps = 2
     if vision_int8:
         cfg = dataclasses.replace(cfg, vision_int8=True)
+    if regions:
+        # SERVING-config knob (opt-in, NOT the reference eval protocol):
+        # the reference ships max_region_num=100, but REC scenes rarely
+        # keep >50 NMS survivors at thres 0.15/0.6 — fewer region slots
+        # shrink the post-surgery stream (2 tokens per slot) and with it
+        # every prefill matmul row.  Emitted under a _regN metric suffix
+        # so the protocol-default series stays untouched.
+        cfg = dataclasses.replace(cfg, max_region_num=regions)
 
     model = GromaModel(cfg)
     # REC prompts are ~520 tokens post-surgery; a 640-slot stream (not the
@@ -60,6 +68,8 @@ def main(batch=1, w8a8=False, vision_int8=False):
     # attention policy also routes s<1024 to XLA dense — see
     # models/llama.py FLASH_MIN_SEQ / benchmarks/exp_prefill_policy.py)
     seq_len = 640 if on_tpu else cfg.max_seq_len
+    if regions and on_tpu:
+        seq_len = max(384, 640 - (-(-2 * (100 - regions) // 64)) * 64)
     spec = VLDataSpec(num_image_tokens=cfg.num_image_tokens,
                       max_region_num=cfg.max_region_num,
                       max_seq_len=seq_len,
@@ -109,6 +119,8 @@ def main(batch=1, w8a8=False, vision_int8=False):
     # compact_stream), removing 10% of every prefill matmul's rows
     from groma_tpu.models.groma import compact_stream
     prefill_len = 576 if on_tpu else seq_len
+    if regions and on_tpu:
+        prefill_len = max(320, 576 - (-(-2 * (100 - regions) // 64)) * 64)
 
     def e2e(params, qp, image, ids, slot, valid0, seed):
         image = image + seed.astype(image.dtype) * 1e-9
@@ -165,7 +177,8 @@ def main(batch=1, w8a8=False, vision_int8=False):
                       jnp.int32(i))[0])
     dt = (time.time() - t0) / n
     suffix = ('_w8a8' if w8a8 else '') + \
-        ('_int8vision' if vision_int8 else '')
+        ('_int8vision' if vision_int8 else '') + \
+        (f'_reg{regions}' if regions else '')
     print(json.dumps({
         'metric': f'groma7b_e2e_rec{suffix}_images_per_sec',
         'value': round(batch / dt, 3),
@@ -199,6 +212,11 @@ if __name__ == '__main__':
     import jax as _jax
     _default = 8 if _jax.devices()[0].platform == 'tpu' else 1
     _pos = [a for a in sys.argv[1:] if not a.startswith('-')]
+    _reg = 0
+    for _a in sys.argv[1:]:
+        if _a.startswith('--regions='):
+            _reg = int(_a.split('=')[1])
     main(batch=int(_pos[0]) if _pos else _default,
          w8a8='--w8a8' in sys.argv,
-         vision_int8='--int8vision' in sys.argv)
+         vision_int8='--int8vision' in sys.argv,
+         regions=_reg)
