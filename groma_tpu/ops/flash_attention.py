@@ -20,6 +20,7 @@ dot-product path in models/llama.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -603,6 +604,13 @@ def _bwd(causal, scale, block_q, block_k, interpret, res, g):
     q, k, v, kv_mask, out, lse = res
     b, h, sq, d = q.shape
     skv = k.shape[2]
+    # backward kernels may prefer their own tiling (dk/dv iterates q
+    # blocks per kv block; dq the reverse) — overridable via env for
+    # sweeps, defaults tied to the fwd blocks
+    block_q = int(os.environ.get('GROMA_FLASH_BWD_BQ', block_q))
+    block_k = int(os.environ.get('GROMA_FLASH_BWD_BK', block_k))
+    block_q = min(block_q, max(sq, 8))
+    block_k = min(block_k, max(skv, 8))
     do = g
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
