@@ -126,3 +126,38 @@ def test_flash_wholekv_exact_zero_scores(rng):
     out = flash_attention(q, k, v)
     want = mha_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
+def test_causal_pairs_enumeration():
+    """Packed-grid tables: exactly the live causal pairs, visit order
+    groups each output block's run contiguously with correct first/last
+    flags, and dead above-diagonal pairs are absent."""
+    from groma_tpu.ops.flash_attention import _causal_pairs
+    for nq, nk, bq, bk, sq, skv in ((4, 4, 512, 512, 2048, 2048),
+                                    (8, 4, 256, 512, 2048, 2048),
+                                    (2, 2, 384, 384, 576, 576),
+                                    (3, 5, 256, 128, 640, 640)):
+        for kv_major in (False, True):
+            iq_t, ik_t, fi, la = _causal_pairs(nq, nk, bq, bk, sq, skv,
+                                               kv_major=kv_major)
+            pairs = list(zip(iq_t.tolist(), ik_t.tolist()))
+            # every live pair present exactly once
+            live = {(iq, ik) for iq in range(nq) for ik in range(nk)
+                    if ik * bk <= iq * bq + bq - 1 + (skv - sq)}
+            assert set(pairs) == live and len(pairs) == len(live)
+            # contiguous runs per output block + first/last flags
+            key = ik_t if kv_major else iq_t
+            runs = {}
+            for j, kv in enumerate(key.tolist()):
+                runs.setdefault(kv, []).append(j)
+            for kv, js in runs.items():
+                assert js == list(range(js[0], js[-1] + 1)), (kv, js)
+                assert fi[js[0]] == 1 and la[js[-1]] == 1
+                assert all(fi[j] == 0 for j in js[1:])
+                assert all(la[j] == 0 for j in js[:-1])
+            # within a run the non-major index ascends (accumulator
+            # visit order matches the rectangular grid's)
+            minor = iq_t if kv_major else ik_t
+            for kv, js in runs.items():
+                ms = [minor[j] for j in js]
+                assert ms == sorted(ms), (kv, ms)
