@@ -414,7 +414,7 @@ def quant_llama_decode_megakernel(qp: dict, sp: dict, cfg: LlamaConfig,
     updated in place.
 
     ``sp`` = stack_decode_params(qp); ``cache`` = a STACKED cache
-    (make_stacked_quant_kv_cache / stack_kv_cache) with a scalar index.
+    (decode_megakernel.stack_kv_cache) with a scalar index.
     Token positions are the scalar cache index (the bench/generator
     decode contract — the engine's per-row vector positions keep the
     per-layer path).  Semantics mirror quant_llama_forward's cached
