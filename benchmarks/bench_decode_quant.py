@@ -94,6 +94,10 @@ def measure_megakernel(qp4, metric, B=8):
     32 x ~5 — the r4-measured ~190 us/pallas_call overhead exploit."""
     from groma_tpu.models.llama_quant import quant_llama_decode_megakernel
     from groma_tpu.ops import decode_megakernel as mk
+    if not mk.supported(cfg, B, qp4):
+        print('# megakernel unsupported here (TPU + MHA + int4 only)',
+              file=sys.stderr, flush=True)
+        return
 
     def prefill(qp, ids):
         cache = make_quant_kv_cache(cfg, B, MAXLEN)
