@@ -52,6 +52,10 @@ def main(batch=1, w8a8=False, vision_int8=False, regions=0):
         decode_steps = 2
     if vision_int8:
         cfg = dataclasses.replace(cfg, vision_int8=True)
+    if regions and not on_tpu:
+        print('# --regions is a TPU serving knob; ignored on the tiny '
+              'CPU config', file=sys.stderr)
+        regions = 0
     if regions:
         # SERVING-config knob (opt-in, NOT the reference eval protocol):
         # the reference ships max_region_num=100, but REC scenes rarely
