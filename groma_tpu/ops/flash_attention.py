@@ -529,6 +529,95 @@ def _bwd_dkv_kernel(*refs, scale, causal, block_q, block_k,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(*refs, scale, causal, block_q, block_k,
+                      seq_q, seq_kv, hb, num_q_blocks):
+    """Single-pass backward over the PACKED kv-major causal grid:
+    dk/dv accumulate in VMEM per kv block (as _bwd_dkv_kernel) and dq
+    accumulates in a FULL-SEQUENCE f32 VMEM scratch — one score
+    recompute and one q/k/v/do/stats stream instead of two, at half the
+    grid steps of the two-kernel split.
+
+    dq bookkeeping: under causal masking every q block is live at
+    ik == 0, which seeds its scratch slice; the DIAGONAL visit
+    ((ik+1)*block_k > q_end) is each q block's last contribution in
+    kv-major order and writes the output block exactly once — no
+    revisited output blocks, no aliasing races against Mosaic's input
+    prefetch."""
+    (iq_t, ik_t, first_t, last_t,
+     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+     dk_ref, dv_ref, dq_ref, dk_acc, dv_acc, dq_scr) = refs
+    j = pl.program_id(2)
+    iq, ik = iq_t[j], ik_t[j]
+    is_first, is_last = first_t[j] == 1, last_t[j] == 1
+
+    @pl.when(is_first)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q_end = iq * block_q + (block_q - 1) + (seq_kv - seq_q)
+    q_start = iq * block_q + (seq_kv - seq_q)
+    crosses_diag = ik * block_k + (block_k - 1) > q_start
+    is_diag = (ik + 1) * block_k > q_end       # last kv block of this iq
+
+    kv_valid = mask_ref[0, 0] != 0
+    kv_tail = ik * block_k + block_k > seq_kv
+    q_tail = iq * block_q + block_q > seq_q
+    all_valid = jnp.all(kv_valid) & jnp.logical_not(kv_tail) \
+        & jnp.logical_not(q_tail) & jnp.logical_not(crosses_diag)
+
+    def _accumulate(p):
+        # p: (hb, block_q, block_k) — pad rows/cols already zeroed
+        do = do_ref[0]                                  # (hb, block_q, d)
+        delta = delta_ref[0][:, :, :1]                  # (hb, block_q, 1)
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # (hb, block_k, d)
+        dp = jax.lax.dot_general(do, v_ref[0], (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta) * scale).astype(q_ref.dtype)
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q_ref[0], (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # (hb, block_k, d)
+        dq_blk = jax.lax.dot_general(
+            ds, k_ref[0], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # (hb, block_q, d)
+        sl = pl.ds(pl.multiple_of(iq * block_q, block_q), block_q)
+        prev = jnp.where(ik == 0, jnp.zeros_like(dq_blk), dq_scr[:, sl, :])
+        val = prev + dq_blk
+        dq_scr[:, sl, :] = val
+
+        @pl.when(is_diag)
+        def _emit_dq():
+            dq_ref[0] = val.astype(dq_ref.dtype)
+
+    def _scores():
+        return jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (hb, bq, bk)
+
+    @pl.when(all_valid)
+    def _compute_fast():
+        _accumulate(jnp.exp(_scores() - lse_ref[0][:, :, :1]))
+
+    @pl.when(jnp.logical_not(all_valid))
+    def _compute_masked():
+        s = _scores()
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        valid = kv_valid[None, :] & (col + ik * block_k < seq_kv)
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        qpos = row + iq * block_q
+        valid = valid & (qpos < seq_q)
+        valid = valid & (col + ik * block_k <= qpos + (seq_kv - seq_q))
+        _accumulate(jnp.where(valid[None],
+                              jnp.exp(s - lse_ref[0][:, :, :1]), 0.0))
+
+    @pl.when(is_last)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
 def _bwd_dq_kernel(*refs, scale, causal, block_q, block_k,
                    num_kv_blocks, seq_q, seq_kv, hb, packed):
     if packed:
@@ -649,11 +738,16 @@ def _bwd(causal, scale, block_q, block_k, interpret, res, g):
         pltpu.VMEM((hb, block_k, d), jnp.float32),
     ]
     if causal:
-        # kv-major live-pair packing (see _causal_pairs): each dk/dv
-        # block accumulates over only its live q blocks
+        # SINGLE-PASS fused backward over the kv-major live-pair packing
+        # (see _causal_pairs and _bwd_fused_kernel): dk/dv/dq from one
+        # score recompute and one q/k/v/do/stats stream
         iq_t, ik_t, fi_t, la_t = _causal_pairs(
             nq, nk, block_q, block_k, sq, skv, kv_major=True)
-        dkv_spec = pltpu.PrefetchScalarGridSpec(
+        fused_kernel = functools.partial(
+            _bwd_fused_kernel, scale=scale, causal=True,
+            block_q=block_q, block_k=block_k, seq_q=sq, seq_kv=skv,
+            hb=hb, num_q_blocks=nq)
+        fused_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(b, h // hb, len(iq_t)),
             in_specs=[
@@ -686,14 +780,25 @@ def _bwd(causal, scale, block_q, block_k, interpret, res, g):
                 pl.BlockSpec((1, hb, block_k, d),
                              lambda ib, ih, j, iq, ik, f, l:
                              (ib, ih, ik[j], 0)),
+                pl.BlockSpec((1, hb, block_q, d),
+                             lambda ib, ih, j, iq, ik, f, l:
+                             (ib, ih, iq[j], 0)),
             ],
-            scratch_shapes=dkv_scratch,
+            scratch_shapes=dkv_scratch + [
+                pltpu.VMEM((hb, sq_p, d), jnp.float32),   # dq_scr
+            ],
         )
-        dk, dv = pl.pallas_call(
-            dkv_kernel, grid_spec=dkv_spec, out_shape=dkv_out_shape,
+        dk, dv, dq = pl.pallas_call(
+            fused_kernel, grid_spec=fused_spec,
+            out_shape=dkv_out_shape + [
+                jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype)],
             interpret=interpret,
         )(jnp.asarray(iq_t), jnp.asarray(ik_t), jnp.asarray(fi_t),
           jnp.asarray(la_t), qp, kp, vp, maskp, dop, lse_t, delta_t)
+        dq = dq[:, :, :sq]
+        dk = dk[:, :, :skv]
+        dv = dv[:, :, :skv]
+        return dq, dk, dv, None
     else:
         dk, dv = pl.pallas_call(
             dkv_kernel,
@@ -726,76 +831,38 @@ def _bwd(causal, scale, block_q, block_k, interpret, res, g):
         )(qp, kp, vp, maskp, dop, lse_t, delta_t)
 
     dq_kernel = functools.partial(
-        _bwd_dq_kernel, scale=scale, causal=causal, block_q=block_q,
+        _bwd_dq_kernel, scale=scale, causal=False, block_q=block_q,
         block_k=block_k, num_kv_blocks=nk, seq_q=sq, seq_kv=skv, hb=hb,
-        packed=causal)
+        packed=False)
     dq_out_shape = jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype)
     dq_scratch = [pltpu.VMEM((hb, block_q, d), jnp.float32)]
-    if causal:
-        iq_t, ik_t, fi_t, la_t = _causal_pairs(nq, nk, block_q, block_k,
-                                               sq, skv)
-        dq_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(b, h // hb, len(iq_t)),
-            in_specs=[
-                pl.BlockSpec((1, hb, block_q, d),
-                             lambda ib, ih, j, iq, ik, f, l:
-                             (ib, ih, iq[j], 0)),
-                pl.BlockSpec((1, hb, block_k, d),
-                             lambda ib, ih, j, iq, ik, f, l:
-                             (ib, ih, ik[j], 0)),
-                pl.BlockSpec((1, hb, block_k, d),
-                             lambda ib, ih, j, iq, ik, f, l:
-                             (ib, ih, ik[j], 0)),
-                pl.BlockSpec((1, 1, block_k),
-                             lambda ib, ih, j, iq, ik, f, l:
-                             (ib, 0, ik[j])),
-                pl.BlockSpec((1, hb, block_q, d),
-                             lambda ib, ih, j, iq, ik, f, l:
-                             (ib, ih, iq[j], 0)),
-                pl.BlockSpec((1, hb, block_q, 128),
-                             lambda ib, ih, j, iq, ik, f, l:
-                             (ib, ih, iq[j], 0)),
-                pl.BlockSpec((1, hb, block_q, 128),
-                             lambda ib, ih, j, iq, ik, f, l:
-                             (ib, ih, iq[j], 0)),
-            ],
-            out_specs=pl.BlockSpec((1, hb, block_q, d),
-                                   lambda ib, ih, j, iq, ik, f, l:
-                                   (ib, ih, iq[j], 0)),
-            scratch_shapes=dq_scratch,
-        )
-        dq = pl.pallas_call(
-            dq_kernel, grid_spec=dq_spec, out_shape=dq_out_shape,
-            interpret=interpret,
-        )(jnp.asarray(iq_t), jnp.asarray(ik_t), jnp.asarray(fi_t),
-          jnp.asarray(la_t), qp, kp, vp, maskp, dop, lse_t, delta_t)
-    else:
-        dq = pl.pallas_call(
-            dq_kernel,
-            grid=(b, h // hb, nq, nk),
-            in_specs=[
-                pl.BlockSpec((1, hb, block_q, d),
-                             lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-                pl.BlockSpec((1, hb, block_k, d),
-                             lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
-                pl.BlockSpec((1, hb, block_k, d),
-                             lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
-                pl.BlockSpec((1, 1, block_k),
-                             lambda ib, ih, iq, ik: (ib, 0, ik)),
-                pl.BlockSpec((1, hb, block_q, d),
-                             lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-                pl.BlockSpec((1, hb, block_q, 128),
-                             lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-                pl.BlockSpec((1, hb, block_q, 128),
-                             lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, hb, block_q, d),
-                                   lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-            out_shape=dq_out_shape,
-            scratch_shapes=dq_scratch,
-            interpret=interpret,
-        )(qp, kp, vp, maskp, dop, lse_t, delta_t)
+    # non-causal only: the causal path returned above via the
+    # fused single-pass kernel
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, h // hb, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, hb, block_q, d),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, block_k, d),
+                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, hb, block_k, d),
+                         lambda ib, ih, iq, ik: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda ib, ih, iq, ik: (ib, 0, ik)),
+            pl.BlockSpec((1, hb, block_q, d),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, block_q, 128),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+            pl.BlockSpec((1, hb, block_q, 128),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hb, block_q, d),
+                               lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        out_shape=dq_out_shape,
+        scratch_shapes=dq_scratch,
+        interpret=interpret,
+    )(qp, kp, vp, maskp, dop, lse_t, delta_t)
 
     dq = dq[:, :, :sq]
     dk = dk[:, :, :skv]

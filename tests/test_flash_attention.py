@@ -161,3 +161,26 @@ def test_causal_pairs_enumeration():
             for kv, js in runs.items():
                 ms = [minor[j] for j in js]
                 assert ms == sorted(ms), (kv, ms)
+
+
+def test_fused_backward_ragged_blocks(rng):
+    """The single-pass causal backward (dk/dv VMEM accumulators + the
+    full-seq dq scratch with diagonal-visit emission) matches reference
+    grads at ragged seq/block combinations that force multi-visit dq
+    accumulation and masked boundary paths."""
+    B, H, S, D = 2, 4, 100, 32
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.3, jnp.float32)
+    mask = jnp.asarray(rng.random((B, S)) > 0.2)
+
+    gr = jax.grad(lambda q, k, v: jnp.sum(mha_reference(
+        q, k, v, kv_mask=mask, causal=True) ** 2), (0, 1, 2))(q, k, v)
+    for bq, bk in ((32, 64), (64, 32), (48, 48)):
+        gf = jax.grad(lambda q, k, v: jnp.sum(flash_attention(
+            q, k, v, kv_mask=mask, causal=True, block_q=bq, block_k=bk,
+            interpret=True) ** 2), (0, 1, 2))(q, k, v)
+        for name, a, b in zip('dq dk dv'.split(), gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4,
+                                       err_msg=f'{bq}x{bk} {name}')
