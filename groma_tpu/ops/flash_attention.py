@@ -452,20 +452,15 @@ def _fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
 
 def _bwd_dkv_kernel(*refs, scale, causal, block_q, block_k,
                     num_q_blocks, seq_q, seq_kv, hb, packed):
-    if packed:
-        (iq_t, ik_t, first_t, last_t,
-         q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-         dk_ref, dv_ref, dk_acc, dv_acc) = refs
-        j = pl.program_id(2)
-        iq, ik = iq_t[j], ik_t[j]
-        is_first, is_last = first_t[j] == 1, last_t[j] == 1
-    else:
-        (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-         dk_ref, dv_ref, dk_acc, dv_acc) = refs
-        iq = pl.program_id(3)
-        ik = pl.program_id(2)
-        is_first = iq == 0
-        is_last = iq == num_q_blocks - 1
+    # rectangular grid only: the causal path routes through the fused
+    # single-pass kernel above (packed kv-major live pairs)
+    assert not packed
+    (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+     dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    iq = pl.program_id(3)
+    ik = pl.program_id(2)
+    is_first = iq == 0
+    is_last = iq == num_q_blocks - 1
 
     @pl.when(is_first)
     def _init():
@@ -620,20 +615,14 @@ def _bwd_fused_kernel(*refs, scale, causal, block_q, block_k,
 
 def _bwd_dq_kernel(*refs, scale, causal, block_q, block_k,
                    num_kv_blocks, seq_q, seq_kv, hb, packed):
-    if packed:
-        (iq_t, ik_t, first_t, last_t,
-         q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-         dq_ref, dq_acc) = refs
-        j = pl.program_id(2)
-        iq, ik = iq_t[j], ik_t[j]
-        is_first, is_last = first_t[j] == 1, last_t[j] == 1
-    else:
-        (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-         dq_ref, dq_acc) = refs
-        ik = pl.program_id(3)
-        iq = pl.program_id(2)
-        is_first = ik == 0
-        is_last = ik == num_kv_blocks - 1
+    # rectangular grid only (see _bwd_dkv_kernel note)
+    assert not packed
+    (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+     dq_ref, dq_acc) = refs
+    ik = pl.program_id(3)
+    iq = pl.program_id(2)
+    is_first = ik == 0
+    is_last = ik == num_kv_blocks - 1
 
     @pl.when(is_first)
     def _init():
