@@ -31,11 +31,17 @@ for s in $SPLITS; do
     continue
   fi
   echo "=== $s ==="
-  PYTHONPATH="$HERE:${PYTHONPATH:-}" python -m groma_tpu.eval.eval_rec \
-    --model-dir "$CKPT" --img-prefix "$DATA/train2014" \
-    --ann-file "$ann" --limit "$LIMIT" \
-    ${REC_TOKENIZER:+--tokenizer "$REC_TOKENIZER"} \
-    | tee "$OUT/$s.log"
+  # one retry per split: a transient failure (host OOM under parallel
+  # CI, tunnel hiccup) should not hole the 8-row table
+  for attempt in 1 2; do
+    PYTHONPATH="$HERE:${PYTHONPATH:-}" python -m groma_tpu.eval.eval_rec \
+      --model-dir "$CKPT" --img-prefix "$DATA/train2014" \
+      --ann-file "$ann" --limit "$LIMIT" \
+      ${REC_TOKENIZER:+--tokenizer "$REC_TOKENIZER"} \
+      | tee "$OUT/$s.log"
+    grep -q '"acc@0.5"' "$OUT/$s.log" && break
+    echo "retrying $s (attempt $attempt produced no metric)" >&2
+  done
 done
 
 python - "$OUT" <<'EOF'
