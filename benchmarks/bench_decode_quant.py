@@ -164,7 +164,8 @@ def main(which='driver'):
     # row-bound (corrected exp_decode_matmul_m8 + megakernel parity
     # result, ROADMAP), so aggregate throughput scales with BATCH almost
     # for free: B=16 1099 tok/s (14.6 ms/step), B=24 1315 tok/s (18.3
-    # ms/step) measured; B=32 fails to compile (decode-attention VMEM).
+    # ms/step) measured; B=32 fails to compile (full-step AOT compile
+    # against the HBM wall — exp_b32_ceiling.py; NOT the attn kernel).
     # Cache at B=24/S=1024 int8 = 6.4 GB next to 3.5 GB int4 weights.
     measure(qp4, 24, True, 'llama7b_int4_kv8_batch24_decode_tok_per_sec',
             '(peak aggregate serving config)')
